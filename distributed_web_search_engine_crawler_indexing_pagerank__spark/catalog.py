@@ -1,0 +1,191 @@
+"""Snapshot-versioned table catalog (Iceberg-style, parquet-backed).
+
+SURVEY.md §7 stack note: the production target is Iceberg via
+``iceberg-spark-runtime`` with a hadoop catalog; this sandbox has no
+network, so the catalog is the spec'd fallback — parquet data files plus a
+JSON manifest emulating snapshot ids, kept behind this one module so the
+Iceberg swap touches nothing else. The API mirrors what the crawl plan
+needs from Iceberg:
+
+- atomic ``commit`` of a new snapshot (overwrite or append),
+- snapshot properties (wave id, per-partition counters — the north_rule's
+  "per-partition lineage + metrics"),
+- time travel / rollback to a snapshot id (resume-from-checkpoint).
+
+Reference analogue: KVS ``pt-`` persistent tables + the progress tables'
+``__meta__`` rows (``src/kvs/Worker.java:33-77``,
+``src/jobs/PageRank.java:33-47``).
+
+Commit protocol: data dirs are written first, then the manifest is
+replaced via atomic ``os.replace`` of a temp file — a reader never sees a
+half-written manifest, and a crash before the rename leaves the previous
+snapshot current (orphan data dirs are harmless and reclaimed by
+``vacuum``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["Catalog", "Snapshot"]
+
+
+@dataclass
+class Snapshot:
+    snapshot_id: int
+    data_dirs: list[str]
+    properties: dict[str, Any] = field(default_factory=dict)
+    parent_id: int | None = None
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "snapshot_id": self.snapshot_id,
+            "data_dirs": self.data_dirs,
+            "properties": self.properties,
+            "parent_id": self.parent_id,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot_id"],
+            data_dirs=list(d["data_dirs"]),
+            properties=dict(d.get("properties", {})),
+            parent_id=d.get("parent_id"),
+        )
+
+
+class Catalog:
+    """A directory of snapshot-versioned tables."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        os.makedirs(self.root, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "manifest.json")
+
+    # -- manifest io ------------------------------------------------------
+    def _load_manifest(self, name: str) -> dict[str, Any]:
+        path = self._manifest_path(name)
+        if not os.path.exists(path):
+            return {"current": None, "snapshots": []}
+        with open(path) as f:
+            return json.load(f)
+
+    def _store_manifest(self, name: str, manifest: dict[str, Any]) -> None:
+        path = self._manifest_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+
+    # -- public api -------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._manifest_path(name))
+
+    def snapshots(self, name: str) -> list[Snapshot]:
+        return [Snapshot.from_json(s) for s in self._load_manifest(name)["snapshots"]]
+
+    def current_snapshot(self, name: str) -> Snapshot | None:
+        m = self._load_manifest(name)
+        if m["current"] is None:
+            return None
+        for s in m["snapshots"]:
+            if s["snapshot_id"] == m["current"]:
+                return Snapshot.from_json(s)
+        return None
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        mode: str = "overwrite",
+        properties: dict[str, Any] | None = None,
+        partition_by: list[str] | None = None,
+    ) -> Snapshot:
+        """Commit a new snapshot. ``append`` unions the parent's data dirs."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        manifest = self._load_manifest(name)
+        parent = self.current_snapshot(name)
+        snap_id = (max((s["snapshot_id"] for s in manifest["snapshots"]), default=0)) + 1
+        data_dir = os.path.join(self._table_dir(name), f"data-{snap_id:06d}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        dirs = [data_dir]
+        if mode == "append" and parent is not None:
+            dirs = parent.data_dirs + dirs
+        snap = Snapshot(
+            snapshot_id=snap_id,
+            data_dirs=dirs,
+            properties={"committed_at": time.time(), **(properties or {})},
+            parent_id=parent.snapshot_id if parent else None,
+        )
+        manifest["snapshots"].append(snap.to_json())
+        manifest["current"] = snap_id
+        self._store_manifest(name, manifest)
+        return snap
+
+    def read(
+        self, spark: SparkSession, name: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Read the current (or a time-travel) snapshot."""
+        snap = (
+            self.current_snapshot(name)
+            if snapshot_id is None
+            else self._snapshot_by_id(name, snapshot_id)
+        )
+        if snap is None:
+            raise FileNotFoundError(f"table {name!r} has no current snapshot")
+        return spark.read.parquet(*snap.data_dirs)
+
+    def _snapshot_by_id(self, name: str, snapshot_id: int) -> Snapshot | None:
+        for s in self.snapshots(name):
+            if s.snapshot_id == snapshot_id:
+                return s
+        return None
+
+    def rollback(self, name: str, snapshot_id: int) -> None:
+        """Point ``current`` at an older snapshot (Iceberg rollback)."""
+        manifest = self._load_manifest(name)
+        ids = {s["snapshot_id"] for s in manifest["snapshots"]}
+        if snapshot_id not in ids:
+            raise KeyError(f"snapshot {snapshot_id} not found for table {name!r}")
+        manifest["current"] = snapshot_id
+        self._store_manifest(name, manifest)
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._table_dir(name), ignore_errors=True)
+
+    def vacuum(self, name: str) -> None:
+        """Delete data dirs unreachable from the current snapshot chain."""
+        cur = self.current_snapshot(name)
+        if cur is None:
+            return
+        keep: set[str] = set()
+        snap: Snapshot | None = cur
+        by_id = {s.snapshot_id: s for s in self.snapshots(name)}
+        while snap is not None:
+            keep.update(snap.data_dirs)
+            snap = by_id.get(snap.parent_id) if snap.parent_id else None
+        tdir = self._table_dir(name)
+        for entry in os.listdir(tdir):
+            full = os.path.join(tdir, entry)
+            if entry.startswith("data-") and full not in keep:
+                shutil.rmtree(full, ignore_errors=True)
