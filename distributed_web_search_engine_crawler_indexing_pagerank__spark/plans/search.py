@@ -1,0 +1,130 @@
+"""Query-time scoring pipeline (reference: ``src/frontend/``).
+
+The reference serves a query with N·(W+1) KVS point reads in a serial
+loop (SURVEY.md §3.3) — posting lookup per word, then per candidate one
+``getRow`` per query word for tfidf and one for pagerank metadata
+(``ResultPageHandler.java:101-191``, ``KVSStorage.java:101-193``). Here
+the whole thing is one declarative plan: explode postings → conjunctive
+AND via match-count (Q4) → join tfidf + pageranks → score expression
+(Q5) → title-dedupe window + order/limit (Q6). Point-read storms become
+joins (SURVEY.md §4.3).
+
+Score (ResultPageHandler.java:101-191, geo boost out of scope):
+``0.45·ln(1+PR) + 0.45·avg(tfidf of matched terms) + 0.07·titleHitFrac +
+0.03·urlHitFrac``, × length penalty ``1/(1+(len−120)/60)`` for urls
+longer than 120 chars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..javaport.tokenize import is_stop_word
+
+__all__ = ["tokenize_query", "search", "spellcheck", "autocomplete"]
+
+PAGE_SIZE = 10  # ResultPageHandler.java:28
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Q1: lowercase, split \\s+, drop stopwords (ResultPageHandler:450-461)."""
+    return [w for w in query.lower().split() if w and not is_stop_word(w)]
+
+
+def search(
+    query: str,
+    index: DataFrame,
+    tfidf: DataFrame,
+    pageranks: DataFrame,
+    page: int = 0,
+    page_size: int = PAGE_SIZE,
+) -> DataFrame:
+    """→ top results (url, title, snippet, score) for the query."""
+    words = tokenize_query(query)
+    if not words:
+        return pageranks.select("url", "title", "snippet").limit(0).withColumn(
+            "score", F.lit(0.0)
+        )
+    n_words = len(words)
+
+    postings = index.where(F.col("word").isin(words)).select(
+        "word", F.explode("urls").alias("url")
+    )
+    # Q4: conjunctive AND — candidate iff it matches every query word.
+    candidates = (
+        postings.groupBy("url")
+        .agg(F.countDistinct("word").alias("_matches"))
+        .where(F.col("_matches") == n_words)
+        .select("url")
+    )
+    # matched-term tfidf average (KVSStorage.getTfIdf:150-160)
+    tf_avg = (
+        tfidf.where(F.col("word").isin(words))
+        .join(candidates, "url", "left_semi")
+        .groupBy("url")
+        .agg(F.avg("tfidf").alias("_tfidf_avg"))
+    )
+    scored = (
+        candidates.join(pageranks, "url")
+        .join(tf_avg, "url", "left")
+        .withColumn("_lower_title", F.lower(F.coalesce(F.col("title"), F.lit(""))))
+        .withColumn("_lower_url", F.lower(F.col("url")))
+    )
+    title_hits = sum(
+        F.when(F.col("_lower_title").contains(w), 1).otherwise(0) for w in words
+    )
+    url_hits = sum(
+        F.when(F.col("_lower_url").contains(w), 1).otherwise(0) for w in words
+    )
+    base = (
+        F.lit(0.45) * F.log(F.lit(1.0) + F.col("pagerank"))
+        + F.lit(0.45) * F.coalesce(F.col("_tfidf_avg"), F.lit(0.0))
+        + F.lit(0.07) * (title_hits / F.lit(n_words))
+        + F.lit(0.03) * (url_hits / F.lit(n_words))
+    )
+    penalty = F.when(
+        F.length("url") > 120,
+        F.lit(1.0) / (F.lit(1.0) + (F.length("url") - 120) / F.lit(60.0)),
+    ).otherwise(F.lit(1.0))
+    scored = scored.withColumn("score", base * penalty)
+
+    # Q6: keep the best row per normalized title, sort, paginate.
+    w_dedupe = Window.partitionBy(F.trim(F.col("_lower_title"))).orderBy(
+        F.col("score").desc(), F.col("url").asc()
+    )
+    result = (
+        scored.withColumn("_rn", F.row_number().over(w_dedupe))
+        .where(F.col("_rn") == 1)
+        .select("url", "title", "snippet", "score")
+        .orderBy(F.col("score").desc(), F.col("url").asc())
+        .offset(page * page_size)
+        .limit(page_size)
+    )
+    return result
+
+
+def spellcheck(query_word: str, index: DataFrame, max_distance: int = 2) -> str | None:
+    """Q2: nearest dictionary word with Levenshtein ≤2
+    (SpellChecker.suggestQuery:42-95). Dictionary = index row keys."""
+    hit = (
+        index.select("word")
+        .withColumn("_d", F.levenshtein(F.col("word"), F.lit(query_word)))
+        .where(F.col("_d") <= max_distance)
+        .orderBy(F.col("_d").asc(), F.col("word").asc())
+        .limit(1)
+        .collect()
+    )
+    return hit[0]["word"] if hit else None
+
+
+def autocomplete(prefix: str, index: DataFrame, limit: int = 8) -> list[str]:
+    """Q3: prefix scan of the sorted dictionary, limit 8
+    (SpellChecker.suggestPrefix:98-118)."""
+    rows = (
+        index.select("word")
+        .where(F.col("word").startswith(prefix.lower()))
+        .orderBy("word")
+        .limit(limit)
+        .collect()
+    )
+    return [r["word"] for r in rows]

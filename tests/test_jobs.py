@@ -1,0 +1,210 @@
+"""Downstream jobs (indexer / pagerank / tfidf / search) vs in-test oracles.
+
+Each Spark plan is checked against an independent pure-Python computation
+built from the byte-exact javaport kernels (indexer, tfidf, graph), a
+closed-form power iteration (pagerank), or hand-computed expectations
+(search scoring).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from distributed_web_search_engine_crawler_indexing_pagerank__spark import webgen
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.javaport.links import (
+    extract_links,
+)
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.javaport.textextract import (
+    extract_body_text_for_index,
+    extract_body_text_tfidf,
+)
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.javaport.tokenize import (
+    index_words,
+    tokenize_counts,
+)
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.plans import (
+    indexer,
+    pagerank as pr,
+    search as srch,
+    tfidf as tfidf_mod,
+)
+
+SEED, N_HOSTS, PAGES_BASE = 3, 4, 6
+
+
+@pytest.fixture(scope="module")
+def pages_pd():
+    pages, _, _ = webgen.gen_web_local(SEED, N_HOSTS, PAGES_BASE)
+    return pages
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, pages_pd):
+    return spark.createDataFrame(pages_pd).cache()
+
+
+def test_indexer_matches_python_oracle(pages_df, pages_pd):
+    got = {
+        r["word"]: (tuple(r["urls"]), r["df"])
+        for r in indexer.build_index(pages_df).collect()
+    }
+    # oracle
+    eligible = [
+        (row["url"], row["html"].decode())
+        for _, row in pages_pd.iterrows()
+        if len(row["html"]) >= indexer.MIN_PAGE_BYTES
+    ]
+    n_docs = len(eligible)
+    cap = int(min(indexer.MAX_URLS_PER_WORD, max(1, int(n_docs * indexer.MAX_DOC_FRACTION))))
+    postings: dict[str, list[str]] = {}
+    for url, html in eligible:
+        text = extract_body_text_for_index(html[: indexer.MAX_HTML_BYTES])
+        for w in index_words(text):
+            postings.setdefault(w, []).append(url)
+    expected = {
+        w: (tuple(sorted(urls)[:cap]), len(urls)) for w, urls in postings.items()
+    }
+    assert got == expected
+    assert len(got) > 10
+
+
+def test_pagerank_closed_form(spark):
+    """4-node graph with a dangling node; compare to a numpy power
+    iteration implementing the reference update rule exactly."""
+    edges = {
+        "a": ["b", "c"],
+        "b": ["c"],
+        "c": ["a"],
+        "d": [],  # dangling
+    }
+    graph = spark.createDataFrame(
+        [(s, None, None, ds) for s, ds in edges.items()],
+        "src string, title string, snippet string, dests array<string>",
+    )
+    ranks = {r["url"]: r["rank"] for r in pr.pagerank(graph).collect()}
+
+    # oracle power iteration (PageRank.java:299-315 update + L∞ stop)
+    nodes = sorted(edges)
+    n = len(nodes)
+    d = pr.DAMPING
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(pr.MAX_ITERATIONS):
+        inbound = {v: 0.0 for v in nodes}
+        dangling = 0.0
+        for v in nodes:
+            dests = set(edges[v])
+            if not dests:
+                dangling += rank[v]
+                continue
+            # share divides by ALL distinct dests (known or not); only
+            # known vertices gather (reference drops unknown at P7).
+            share = rank[v] / len(dests)
+            for x in dests:
+                if x in inbound:
+                    inbound[x] += share
+        new = {
+            v: (1 - d) / n + d * inbound[v] + d * dangling / n for v in nodes
+        }
+        residual = max(abs(new[v] - rank[v]) for v in nodes)
+        rank = new
+        if residual < pr.CONVERGENCE:
+            break
+
+    assert set(ranks) == set(nodes)
+    for v in nodes:
+        assert ranks[v] == pytest.approx(rank[v], abs=1e-9)
+    assert sum(ranks.values()) == pytest.approx(1.0, abs=0.01)
+
+
+def test_build_graph_matches_kernel(pages_df, pages_pd):
+    got = {r["src"]: list(r["dests"]) for r in pr.build_graph(pages_df).collect()}
+    for _, row in pages_pd.sample(n=10, random_state=1).iterrows():
+        expected = sorted(extract_links(row["url"], row["html"].decode()))
+        assert got[row["url"]] == expected
+
+
+def test_tfidf_matches_python_oracle(pages_df, pages_pd):
+    index_df = indexer.build_index(pages_df)
+    got = {
+        (r["url"], r["word"]): (r["tf"], r["idf"], r["tfidf"])
+        for r in tfidf_mod.tfidf(pages_df, index_df).collect()
+    }
+    # oracle
+    n_docs = len(pages_pd)
+    df_counts: dict[str, int] = {}
+    eligible = [
+        (row["url"], row["html"].decode())
+        for _, row in pages_pd.iterrows()
+        if len(row["html"]) >= indexer.MIN_PAGE_BYTES
+    ]
+    for url, html in eligible:
+        text = extract_body_text_for_index(html[: indexer.MAX_HTML_BYTES])
+        for w in index_words(text):
+            df_counts[w] = df_counts.get(w, 0) + 1
+    expected = {}
+    for _, row in pages_pd.iterrows():
+        counts = tokenize_counts(extract_body_text_tfidf(row["html"].decode()))
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : tfidf_mod.MAX_TERMS_PER_DOCUMENT
+        ]
+        for w, c in top:
+            if w not in df_counts:
+                continue
+            tf = 1.0 + math.log(c)
+            idf = math.log((n_docs + 1.0) / (df_counts[w] + 1.0))
+            if idf > 0 and tf * idf > 0:
+                expected[(row["url"], w)] = (tf, idf, tf * idf)
+    assert set(got) == set(expected)
+    for k, (tf, idf, ti) in expected.items():
+        assert got[k][0] == pytest.approx(tf, rel=1e-12)
+        assert got[k][1] == pytest.approx(idf, rel=1e-12)
+        assert got[k][2] == pytest.approx(ti, rel=1e-12)
+
+
+def test_search_and_semantics_and_ranking(spark):
+    index = spark.createDataFrame(
+        [
+            ("apple", ["u1", "u2", "u3"], 3),
+            ("banana", ["u1", "u2"], 2),
+            ("cherry", ["u9"], 1),
+        ],
+        "word string, urls array<string>, df long",
+    )
+    tfidf = spark.createDataFrame(
+        [
+            ("u1", "apple", 0.5),
+            ("u1", "banana", 0.7),
+            ("u2", "apple", 0.1),
+            ("u2", "banana", 0.1),
+        ],
+        "url string, word string, tfidf double",
+    ).select("url", "word", F_lit0("tf"), F_lit0("idf"), "tfidf")
+    pageranks = spark.createDataFrame(
+        [
+            ("u1", "Apple banana pie", "s1", 0.4),
+            ("u2", "Something else", "s2", 0.4),
+            ("u3", "Only apple", "s3", 0.9),
+        ],
+        "url string, title string, snippet string, pagerank double",
+    )
+    res = srch.search("apple banana", index, tfidf, pageranks).collect()
+    urls = [r["url"] for r in res]
+    # AND semantics: u3 matches only 'apple' → excluded
+    assert set(urls) == {"u1", "u2"}
+    # u1 has higher tfidf avg + title hits → ranks first
+    assert urls[0] == "u1"
+    # scores computed per the reference formula
+    s1 = 0.45 * math.log(1.4) + 0.45 * 0.6 + 0.07 * 1.0 + 0.03 * 0.0
+    assert res[0]["score"] == pytest.approx(s1, rel=1e-9)
+
+    assert srch.spellcheck("aple", index) == "apple"
+    assert srch.autocomplete("ap", index) == ["apple"]
+    assert srch.tokenize_query("the apple AND banana") == ["apple", "banana"]
+
+
+def F_lit0(name):
+    from pyspark.sql import functions as F
+
+    return F.lit(0.0).alias(name)
