@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR plus the
+crawl-replay throughput run. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` = total headline seconds (lower is better). The crawl replay's
+urls/sec — the BASELINE.json north-star throughput — is reported both as
+its wall time in ``queries.crawl_replay`` and as ``crawl_urls_per_sec``.
+Scaling evidence across two parallelism levels lives in
+BENCH/BASELINE.md (scripts/bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.benchmarks import (  # noqa: E402
+    run_crawl_bench,
+)
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.queries import (  # noqa: E402
+    queries,
+)
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.session import (  # noqa: E402
+    get_spark,
+)
+
+HEADLINE = [
+    "q_tpch_q1",
+    "q_join_agg",
+    "q_politeness_window",
+    "q_frontier_antijoin",
+    "q_tfidf_docs",
+    "q_minhash_lsh",
+    "q_ngram_jaccard",
+    "q_simhash",
+    "q_cosine_topk",
+    "q_ivf_ann",
+    "q_media_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qmap[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    crawl = run_crawl_bench(
+        spark,
+        n_hosts=int(os.environ.get("BENCH_CRAWL_HOSTS", "2000")),
+        pages_base=int(os.environ.get("BENCH_CRAWL_PAGES", "12")),
+        n_seeds=int(os.environ.get("BENCH_CRAWL_SEEDS", "400")),
+        waves=int(os.environ.get("BENCH_CRAWL_WAVES", "4")),
+        partitions=max(8, int(cpus) if str(cpus).isdigit() else 32),
+    )
+    timings["crawl_replay"] = crawl["crawl_sec"]
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "crawl_urls_per_sec": crawl["urls_per_sec"],
+                "crawl_urls_scheduled": crawl["urls_scheduled"],
+                "crawl_pages_fetched": crawl["pages_fetched"],
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,87 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` stages. The actual codec step is STUBBED
+(no image/audio libraries in this container): ``decode_media`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic blake2b-derived pseudo-decode stands in so the Spark-side
+plumbing — schema, partitioning, UDF signature, Arrow batch shape — is
+real and tested end-to-end.
+
+At scale: media bytes never leave the executor that scanned them (one
+mapInPandas over the scan, no shuffle); metadata-only queries prune the
+binary column entirely (columnar reads — verify ReadSchema excludes
+``media`` in .explain).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["MEDIA_SCHEMA", "FEATURE_DIM", "media_from_documents", "extract_features", "decode_media"]
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = (
+    "media_id long, mime string, media binary, n_bytes int"
+)
+
+FEATURE_OUT_SCHEMA = (
+    "media_id long, mime string, n_bytes int, feature array<float>"
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from the documents fixture: the UTF-8
+    bytes of ``text`` stand in for an opaque payload."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("media"),
+        F.length(F.encode(F.col("text"), "utf-8")).cast("int").alias("n_bytes"),
+    )
+
+
+def decode_media(payload: bytes, mime: str, fake: bool = False) -> np.ndarray:
+    """Decode one media payload. REAL decode is not available in this
+    environment — the deterministic fake derives FEATURE_DIM floats from
+    a blake2b digest so downstream plumbing is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires image/audio codecs not present in this "
+            "container; pass fake=True for the deterministic stand-in"
+        )
+    digest = hashlib.blake2b(payload or b"", digest_size=FEATURE_DIM * 4).digest()
+    ints = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
+    return (ints / np.float64(2**32)).astype(np.float32)
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction — the Arrow batch shape a real
+    decoder would use (batched bytes in, fixed-dim float arrays out)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            feats = [
+                decode_media(bytes(p) if p is not None else b"", m, fake=fake)
+                for p, m in zip(b["media"], b["mime"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "mime": b["mime"],
+                    "n_bytes": b["n_bytes"],
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return media.mapInPandas(fn, FEATURE_OUT_SCHEMA)

@@ -1,0 +1,132 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure column expressions (JVM-side, whole-stage codegen — UDF-free):
+token counting (whitespace + BPE-ish regex), language ID (marker-word
+heuristic), quality scoring (length/alpha/stopword ratios), and document
+fingerprinting (normalized-text MD5). Each has an exact ANSI-SQL oracle
+(same constants) in ``queries.py``.
+
+At 100 TB these run as a single scan + project per document batch — no
+shuffle at all except where a groupBy is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "WS_PATTERN",
+    "BPE_PATTERN",
+    "LANG_MARKERS",
+    "QUALITY_STOPWORDS",
+    "tokens_col",
+    "token_counts",
+    "lang_id",
+    "quality_score",
+    "fingerprint",
+]
+
+WS_PATTERN = r"\s+"
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+# Marker words per language for the n-gram/marker heuristic. Deterministic
+# tie-break: (score desc, lang asc).
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht"],
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "et", "des"],
+}
+
+# Tiny fixed stoplist for the quality heuristic (NOT the reference's
+# indexing stoplist — that one lives in javaport.tokenize).
+QUALITY_STOPWORDS = ["the", "and", "of", "to", "in", "a", "is"]
+
+
+def tokens_col(col: Column) -> Column:
+    """Whitespace tokens of trimmed text."""
+    return F.split(F.trim(col), WS_PATTERN)
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, n_ws_tokens, n_bpe_tokens, n_chars_norm)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens_col(text)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.length(F.trim(text)).alias("n_chars_norm"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, pred_lang, marker_hits): argmax of distinct-token overlap
+    with each language's marker list; ties break by language code."""
+    toks = F.array_distinct(tokens_col(F.lower(F.col(text_col))))
+    scored = df.select(
+        F.col(id_col),
+        *[
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).alias(f"_s_{lang}")
+            for lang, words in sorted(LANG_MARKERS.items())
+        ],
+    )
+    # argmax via array_max over (score, neg-lang) structs: struct ordering
+    # gives score desc / lang asc without a window.
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"_s_{lang}").alias("s"),
+                    # invert lang for asc tie-break under max()
+                    F.lit(-i).alias("inv"),
+                    F.lit(lang).alias("lang"),
+                )
+                for i, lang in enumerate(sorted(LANG_MARKERS))
+            ]
+        )
+    )
+    return scored.select(
+        id_col,
+        best["lang"].alias("pred_lang"),
+        best["s"].alias("marker_hits"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, alpha_ratio, stop_ratio, len_score, quality) — all
+    rounded to 6 decimals for cross-engine comparability."""
+    text = F.trim(F.col(text_col))
+    toks = tokens_col(F.lower(text))
+    n_tok = F.size(toks)
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", "")) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks), F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+        )
+    )
+    stop_ratio = stop_hits / F.greatest(n_tok, F.lit(1))
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    quality = F.round(
+        F.lit(0.4) * alpha + F.lit(0.3) * stop_ratio + F.lit(0.3) * len_score, 6
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(len_score, 6).alias("len_score"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ (doc_id, fp): MD5 of lowercase whitespace-collapsed text — the
+    exact-dedup identity."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PATTERN, " ")
+    return df.select(F.col(id_col), F.md5(norm).alias("fp"))

@@ -1,0 +1,794 @@
+"""Query registry: every claimed operator as (Spark callable, SQL oracle).
+
+Each entry pairs a PySpark DataFrame implementation with the ANSI-SQL
+string a DuckDB oracle runs on the same parquet tables (driver contract
+in ``__spark_entry__.py``). Column names and rounding are identical on
+both sides; SQL for the hash/shingle operators is GENERATED from the same
+module constants the Spark side uses, so semantics cannot drift.
+
+Query groups (↔ SURVEY.md §2 rows):
+- relational core: scan/filter/project, flatMap, distinct, groupBy,
+  fold/foldByKey, join, intersection, sort+limit (§2.1 #2-#16)
+- crawl domain: URL identity, politeness window scheduling, frontier
+  anti-join, conjunctive posting AND, spellcheck (§2.3 C7/C12/C15, §2.5
+  Q2/Q4)
+- indexing/scoring: reference tokenizer (I3), TF-IDF formula (T1)
+- training-data ops: token counts, language ID, quality, fingerprint,
+  exact/Jaccard/MinHash-LSH/SimHash dedup, cosine top-k, IVF ANN
+- rows-only (no SQL equivalent): iterative PageRank, multimodal feature
+  extraction, end-to-end crawl wave (checked by pytest golden instead)
+
+Hashing note: cross-engine identity uses MD5 (DuckDB 1.0 has no sha1);
+the crawl pipeline itself uses the reference's SHA-1 (javaport.hasher).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .javaport.tokenize import STOP_WORDS
+from .operators import dedup, similarity, textops
+
+__all__ = ["queries", "oracle_sql", "QUERIES"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _sql_quote_list(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
+# ---------------------------------------------------------------------------
+# relational core
+# ---------------------------------------------------------------------------
+
+def q_scan_filter_project(spark, sf_dir):
+    """fromTable scan+project fusion (§2.1 #2/#6): pushdown-able filter,
+    pruned columns, computed net price."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_quantity") > 45).select(
+        "l_orderkey",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
+    )
+
+
+SQL_SCAN = """
+SELECT l_orderkey, l_partkey,
+       round(l_extendedprice * (1 - l_discount), 4) AS net
+FROM lineitem WHERE l_quantity > 45
+"""
+
+
+def q_flatmap_wordcount(spark, sf_dir):
+    """flatMap + foldByKey (§2.1 #3/#15): explode words, count per word."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(textops.tokens_col(F.lower(F.col("text")))).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+SQL_WORDCOUNT = """
+SELECT word, count(*) AS cnt
+FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+      FROM documents)
+WHERE word <> '' GROUP BY word
+"""
+
+
+def q_distinct(spark, sf_dir):
+    """distinct (§2.1 #7)."""
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+SQL_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+
+def q_groupby_collect(spark, sf_dir):
+    """groupBy + bounded sorted collect_list (§2.1 #10; the indexer's
+    df-capped posting pattern, §2.2 appendCapped)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).alias("order_ids"),
+        F.count("*").cast("long").alias("n_orders"),
+    )
+
+
+SQL_GROUPBY_COLLECT = """
+SELECT o_custkey,
+       (list_sort(list(o_orderkey)))[1:5] AS order_ids,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_agg_fold(spark, sf_dir):
+    """global fold/aggregate (§2.1 #14): partial+final automatic."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_net"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+SQL_AGG_FOLD = """
+SELECT round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_net,
+       count(*) AS n_rows
+FROM lineitem
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    """pricing summary (groupBy multi-agg; the foldByKey showcase)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_agg(spark, sf_dir):
+    """inner equi-join + agg (§2.1 #16): revenue per nation; dimension
+    tables broadcast (verify BroadcastHashJoin in .explain)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_JOIN_AGG = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_intersection(spark, sf_dir):
+    """set intersection (§2.1 #9): nations having both customers and
+    suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+SQL_INTERSECTION = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_top_orders(spark, sf_dir):
+    """sort + limit (top-k; absent from the reference — §2.1 'not
+    implemented' list — added as first-class here)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    ).limit(10)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def q_window_sessionize(spark, sf_dir):
+    """window functions over an event stream: per-user event ordering +
+    running value (engine surface beyond the reference)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+SQL_WINDOW = """
+SELECT user_id, event_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS seq,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl domain (SQL-expressible pieces of the scheduler)
+# ---------------------------------------------------------------------------
+
+def _synth_frontier(spark, sf_dir):
+    """Deterministic frontier synthesized from documents: url, host,
+    depth, discovery order — mirrors schemas.FRONTIER shape."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 37).cast("string"), F.lit(".test/p/"),
+            F.col("doc_id").cast("string"), F.lit(".html"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        (F.col("doc_id") % 5).cast("long").alias("depth"),
+        F.col("doc_id").alias("discovered_at"),
+    )
+
+
+_SQL_FRONTIER = """
+SELECT 'http://h' || (doc_id % 37) || '.test/p/' || doc_id || '.html' AS url,
+       'h' || (doc_id % 37) || '.test' AS host,
+       doc_id % 5 AS depth,
+       doc_id AS discovered_at
+FROM documents
+"""
+
+
+def q_url_identity(spark, sf_dir):
+    """URL identity triple (C12 canonicalize-and-hash shape): md5 identity
+    + host + path for the synthesized frontier (MD5 because the oracle
+    engine lacks sha1; the real pipeline uses reference SHA-1)."""
+    f = _synth_frontier(spark, sf_dir)
+    return f.select(
+        "url",
+        F.md5(F.col("url")).alias("url_hash"),
+        "host",
+        F.regexp_replace("url", "^https?://[^/]+", "").alias("path"),
+    )
+
+
+SQL_URL_IDENTITY = f"""
+SELECT url, md5(url) AS url_hash, host,
+       regexp_replace(url, '^https?://[^/]+', '') AS path
+FROM ({_SQL_FRONTIER})
+"""
+
+
+def q_politeness_window(spark, sf_dir):
+    """window-over-host batch selection (C7, the scheduler's core): one
+    URL per eligible host per wave, BFS priority (depth, discovered_at);
+    hosts with host_num % 3 = 0 are 'throttled' this wave."""
+    f = _synth_frontier(spark, sf_dir).withColumn(
+        "host_num", F.regexp_extract("host", r"h(\d+)\.test", 1).cast("long")
+    )
+    eligible = f.where(F.col("host_num") % 3 != 0)
+    w = Window.partitionBy("host").orderBy("depth", "discovered_at")
+    return (
+        eligible.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("host", "url", "depth", "discovered_at")
+    )
+
+
+SQL_POLITENESS = f"""
+WITH frontier AS ({_SQL_FRONTIER}),
+eligible AS (
+  SELECT *, CAST(regexp_extract(host, 'h(\\d+)\\.test', 1) AS BIGINT) AS host_num
+  FROM frontier
+  WHERE CAST(regexp_extract(host, 'h(\\d+)\\.test', 1) AS BIGINT) % 3 <> 0
+)
+SELECT host, url, depth, discovered_at FROM (
+  SELECT host, url, depth, discovered_at,
+         row_number() OVER (PARTITION BY host ORDER BY depth, discovered_at) AS rn
+  FROM eligible
+) WHERE rn = 1
+"""
+
+
+def q_frontier_antijoin(spark, sf_dir):
+    """URL-seen anti-join (C15): candidates minus the seen ledger (the
+    exact half of the Bloom+anti-join pair)."""
+    f = _synth_frontier(spark, sf_dir)
+    seen = f.where(F.col("discovered_at") % 2 == 0).select("url")
+    return f.join(seen, "url", "left_anti").select("url", "host", "depth")
+
+
+SQL_ANTIJOIN = f"""
+WITH frontier AS ({_SQL_FRONTIER})
+SELECT url, host, depth FROM frontier f
+WHERE NOT EXISTS (
+  SELECT 1 FROM frontier s WHERE s.discovered_at % 2 = 0 AND s.url = f.url
+)
+"""
+
+
+def q_posting_and(spark, sf_dir):
+    """conjunctive AND retrieval (Q4): docs containing every query word,
+    via match-count."""
+    docs = _t(spark, sf_dir, "documents")
+    words = ["data", "query"]
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(textops.tokens_col(F.lower(F.col("text"))))).alias("w")
+    )
+    return (
+        tok.where(F.col("w").isin(words))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_match"))
+        .where(F.col("n_match") == len(words))
+        .select("doc_id")
+    )
+
+
+SQL_POSTING_AND = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+)
+SELECT doc_id FROM tok WHERE w IN ('data', 'query')
+GROUP BY doc_id HAVING count(*) = 2
+"""
+
+
+def q_spellcheck(spark, sf_dir):
+    """Levenshtein spellcheck (Q2): nearest dictionary word ≤2 edits from
+    a misspelled query term; dictionary = distinct document tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    dic = docs.select(
+        F.explode(F.array_distinct(textops.tokens_col(F.lower(F.col("text"))))).alias("w")
+    ).distinct()
+    return (
+        dic.withColumn("dist", F.levenshtein(F.col("w"), F.lit("qery")).cast("long"))
+        .where(F.col("dist") <= 2)
+        .orderBy("dist", "w")
+        .limit(3)
+    )
+
+
+SQL_SPELLCHECK = """
+WITH dic AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+)
+SELECT w, levenshtein(w, 'qery') AS dist FROM dic
+WHERE levenshtein(w, 'qery') <= 2
+ORDER BY dist, w LIMIT 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# indexing / scoring formulas (I3, T1) over documents
+# ---------------------------------------------------------------------------
+
+_STOPLIST_SQL = _sql_quote_list(STOP_WORDS)
+
+
+def _index_tokens(spark, sf_dir):
+    """reference tokenizer I3: lower, split [^a-z]+, len ≤25, no
+    stopwords, per-doc count (Indexer.java:214-241)."""
+    docs = _t(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    )
+    return (
+        tok.where((F.col("w") != "") & (F.length("w") <= 25))
+        .where(~F.array_contains(stop, F.col("w")))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_SQL_INDEX_TOKENS = f"""
+SELECT doc_id, w, count(*) AS cnt FROM (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+  FROM documents
+)
+WHERE w <> '' AND length(w) <= 25 AND w NOT IN ({_STOPLIST_SQL})
+GROUP BY doc_id, w
+"""
+
+
+def q_index_words(spark, sf_dir):
+    """I3 indexable words: per-doc count ≥ 2."""
+    return _index_tokens(spark, sf_dir).where(F.col("cnt") >= 2)
+
+
+SQL_INDEX_WORDS = f"SELECT * FROM ({_SQL_INDEX_TOKENS}) WHERE cnt >= 2"
+
+
+def q_tfidf_docs(spark, sf_dir):
+    """T1 formula: tf = 1+ln(cnt), idf = ln((N+1)/(df+1)), keep idf>0 ∧
+    tfidf>0 (TfIdf.java:217-225), rounded 6."""
+    tok = _index_tokens(spark, sf_dir).where(F.col("cnt") >= 2)
+    n_docs = _t(spark, sf_dir, "documents").count()
+    dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
+    return (
+        tok.join(dfreq, "w")
+        .select(
+            "doc_id",
+            "w",
+            F.round(F.lit(1.0) + F.log(F.col("cnt")), 6).alias("tf"),
+            F.round(F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6).alias("idf"),
+            F.round(
+                (F.lit(1.0) + F.log(F.col("cnt")))
+                * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+        .where((F.col("idf") > 0) & (F.col("tfidf") > 0))
+    )
+
+
+SQL_TFIDF = f"""
+WITH tok AS (SELECT * FROM ({_SQL_INDEX_TOKENS}) WHERE cnt >= 2),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT w, count(*) AS df FROM tok GROUP BY w)
+SELECT doc_id, tok.w,
+       round(1.0 + ln(cnt), 6) AS tf,
+       round(ln((n_docs + 1.0) / (df + 1.0)), 6) AS idf,
+       round((1.0 + ln(cnt)) * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+FROM tok, n JOIN dfreq ON tok.w = dfreq.w
+WHERE round(ln((n_docs + 1.0) / (df + 1.0)), 6) > 0
+  AND round((1.0 + ln(cnt)) * ln((n_docs + 1.0) / (df + 1.0)), 6) > 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark, sf_dir):
+    df = textops.token_counts(_t(spark, sf_dir, "documents"))
+    return df.select(
+        "doc_id",
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{textops.BPE_PATTERN}')) AS n_bpe_tokens,
+       length(trim(text)) AS n_chars_norm
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    return textops.lang_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "pred_lang", F.col("marker_hits").cast("long").alias("marker_hits")
+    )
+
+
+# one UNION ALL branch per language, then a window argmax — flat SQL
+# mirroring the Spark array_max-over-structs argmax exactly.
+def _sql_lang_id_flat() -> str:
+    langs = sorted(textops.LANG_MARKERS)
+    score = lambda words: (
+        "len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), "
+        f"[{_sql_quote_list(words)}]))"
+    )
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, '{la}' AS lang, {score(textops.LANG_MARKERS[la])} AS s, {i} AS inv FROM documents"
+        for i, la in enumerate(langs)
+    )
+    return f"""
+WITH u AS ({union})
+SELECT doc_id, lang AS pred_lang, s AS marker_hits FROM (
+  SELECT doc_id, lang, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, inv ASC) AS rn
+  FROM u
+) WHERE rn = 1
+"""
+
+
+SQL_LANG_ID = _sql_lang_id_flat()
+
+
+def q_quality(spark, sf_dir):
+    return textops.quality_score(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, trim(text) AS t,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+  round(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) * 1.0 / greatest(length(t), 1), 6) AS alpha_ratio,
+  round(len(list_intersect(list_distinct(toks), [{_sql_quote_list(textops.QUALITY_STOPWORDS)}])) * 1.0
+        / greatest(len(toks), 1), 6) AS stop_ratio,
+  round(least(len(toks) / 100.0, 1.0), 6) AS len_score,
+  round(0.4 * (length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) * 1.0 / greatest(length(t), 1))
+      + 0.3 * (len(list_intersect(list_distinct(toks), [{_sql_quote_list(textops.QUALITY_STOPWORDS)}])) * 1.0
+               / greatest(len(toks), 1))
+      + 0.3 * least(len(toks) / 100.0, 1.0), 6) AS quality
+FROM base
+"""
+
+
+def q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS keeper,
+       doc_id <> min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS is_dup
+FROM documents
+"""
+
+
+_SQL_SHINGLES = f"""
+SELECT DISTINCT doc_id, sh FROM (
+  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+       unnest(generate_series(1, greatest(len(t) - {dedup.SHINGLE_N - 1}, 0))) g(i)
+)
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), min_jaccard=0.2).select(
+        "doc_a", "doc_b", F.col("inter").cast("long").alias("inter"), "jaccard"
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) >= 0.2
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), min_est=0.5)
+
+
+_ROWS_PER_BAND = dedup.MINHASH_K // dedup.MINHASH_BANDS
+
+SQL_MINHASH = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+sigs AS (
+  SELECT doc_id, seed, min(md5(seed || ':' || sh)) AS sig
+  FROM sh, unnest(generate_series(0, {dedup.MINHASH_K - 1})) s(seed)
+  GROUP BY doc_id, seed
+),
+bands AS (
+  SELECT doc_id, seed // {_ROWS_PER_BAND} AS band,
+         md5(string_agg(sig, ',' ORDER BY seed)) AS bkey
+  FROM sigs GROUP BY doc_id, seed // {_ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) * 1.0 / {dedup.MINHASH_K}, 6) AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = doc_a
+JOIN sigs sb ON sb.doc_id = doc_b AND sb.seed = sa.seed
+GROUP BY doc_a, doc_b
+HAVING round(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) * 1.0 / {dedup.MINHASH_K}, 6) >= 0.5
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(_t(spark, sf_dir, "documents"))
+
+
+def _sql_simhash() -> str:
+    # bit b of md5: hex digit b//4+1; within-digit bit b%4 (8s bit first)
+    digit_sets = {0: "89abcdef", 1: "4567cdef", 2: "2367abef", 3: "13579bdf"}
+    in_lists = {
+        i: ", ".join(f"'{c}'" for c in s) for i, s in digit_sets.items()
+    }
+    bit_expr = " ".join(
+        f"WHEN b % 4 = {i} THEN CASE WHEN substr(h, (b // 4) + 1, 1) IN ({in_lists[i]}) THEN 1 ELSE 0 END"
+        for i in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS tok
+  FROM documents
+),
+bits AS (
+  SELECT doc_id, b,
+         CASE (CASE {bit_expr} END) WHEN 1 THEN 1 ELSE -1 END AS v
+  FROM (SELECT doc_id, md5(tok) AS h FROM toks),
+       unnest(generate_series(0, {dedup.SIMHASH_BITS - 1})) g(b)
+),
+per_bit AS (
+  SELECT doc_id, b, CASE WHEN sum(v) > 0 THEN '1' ELSE '0' END AS bit
+  FROM bits GROUP BY doc_id, b
+)
+SELECT doc_id, string_agg(bit, '' ORDER BY b) AS simhash
+FROM per_bit GROUP BY doc_id
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.cosine_topk(emb, q, k=10)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round(
+           list_dot_product(query_vec::DOUBLE[], embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(query_vec::DOUBLE[], query_vec::DOUBLE[])) *
+            sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+
+
+def q_ivf_ann(spark, sf_dir):
+    return similarity.ivf_ann_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}]::DOUBLE > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(similarity.IVF_SIGN_BITS)
+)
+
+SQL_IVF_ANN = f"""
+WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+scored AS (
+  SELECT l.vec_id AS vec_id, r.vec_id AS neighbor_id,
+         round(
+           list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 6) AS cos
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+)
+SELECT vec_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL equivalent; pytest goldens cover semantics)
+# ---------------------------------------------------------------------------
+
+def q_pagerank_docs(spark, sf_dir):
+    """iterative PageRank over a synthesized doc graph (P2–P6). No SQL
+    oracle (iterative); closed-form golden in tests/test_jobs.py."""
+    from .plans.pagerank import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    graph = d.select(
+        F.col("doc_id").cast("string").alias("src"),
+        F.array(
+            ((F.col("doc_id") * 3 + 1) % n).cast("string"),
+            ((F.col("doc_id") * 7 + 2) % n).cast("string"),
+        ).alias("dests"),
+    )
+    ranks = pagerank(graph, max_iter=8)
+    return ranks.select("url", F.round("rank", 8).alias("rank"))
+
+
+def q_media_features(spark, sf_dir):
+    """multimodal plumbing: binary payloads → mapInPandas fake decode →
+    fixed-dim features. No SQL oracle (stubbed codec)."""
+    from .operators.multimodal import extract_features, media_from_documents
+
+    media = media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        "mime",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "feature_sum"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple[Callable, str | None]] = {
+    # relational core
+    "q_scan_filter_project": (q_scan_filter_project, SQL_SCAN),
+    "q_flatmap_wordcount": (q_flatmap_wordcount, SQL_WORDCOUNT),
+    "q_distinct": (q_distinct, SQL_DISTINCT),
+    "q_groupby_collect": (q_groupby_collect, SQL_GROUPBY_COLLECT),
+    "q_agg_fold": (q_agg_fold, SQL_AGG_FOLD),
+    "q_tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
+    "q_intersection": (q_intersection, SQL_INTERSECTION),
+    "q_top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "q_window_sessionize": (q_window_sessionize, SQL_WINDOW),
+    # crawl domain
+    "q_url_identity": (q_url_identity, SQL_URL_IDENTITY),
+    "q_politeness_window": (q_politeness_window, SQL_POLITENESS),
+    "q_frontier_antijoin": (q_frontier_antijoin, SQL_ANTIJOIN),
+    "q_posting_and": (q_posting_and, SQL_POSTING_AND),
+    "q_spellcheck": (q_spellcheck, SQL_SPELLCHECK),
+    # indexing / scoring
+    "q_index_words": (q_index_words, SQL_INDEX_WORDS),
+    "q_tfidf_docs": (q_tfidf_docs, SQL_TFIDF),
+    # training-data ops
+    "q_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "q_lang_id": (q_lang_id, SQL_LANG_ID),
+    "q_quality": (q_quality, SQL_QUALITY),
+    "q_exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "q_minhash_lsh": (q_minhash_lsh, SQL_MINHASH),
+    "q_simhash": (q_simhash, SQL_SIMHASH),
+    # similarity
+    "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "q_ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
+    # rows-only
+    "q_pagerank_docs": (q_pagerank_docs, None),
+    "q_media_features": (q_media_features, None),
+}
+
+
+def queries() -> dict[str, Callable]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
