@@ -34,13 +34,19 @@ def run_crawl_bench(
     seed: int = 101,
     workdir: str | None = None,
     partitions: int = 32,
+    heft: int = 1,
+    checkpoint_interval: int = 1,
 ) -> dict:
-    """Run a fetch-free frontier replay; returns timing + throughput."""
+    """Run a fetch-free frontier replay; returns timing + throughput.
+
+    ``heft`` scales synthetic page size/link counts toward realistic web
+    pages (see webgen.page_html); ``checkpoint_interval`` selects the
+    every-K-waves durable-snapshot cadence."""
     tmp = workdir or tempfile.mkdtemp(prefix="crawlbench-")
     try:
         gen_t0 = time.time()
         pages, responses, robots = webgen.gen_web_spark(
-            spark, seed, n_hosts, pages_base, partitions=partitions
+            spark, seed, n_hosts, pages_base, partitions=partitions, heft=heft
         )
         resp_path = f"{tmp}/responses.parquet"
         robots_path = f"{tmp}/robots.parquet"
@@ -62,6 +68,7 @@ def run_crawl_bench(
             cfg,
             n_bloom_shards=16,
             frontier_partitions=partitions,
+            checkpoint_interval=checkpoint_interval,
         )
         seeds = webgen.seed_urls(seed, n_hosts, pages_base, n_seeds)
         crawler.init_from_seeds(seeds)

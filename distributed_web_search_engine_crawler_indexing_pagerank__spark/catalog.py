@@ -161,6 +161,18 @@ class Catalog:
                 return s
         return None
 
+    def update_properties(self, name: str, props: dict[str, Any]) -> None:
+        """Merge extra properties into the CURRENT snapshot (post-commit
+        metric patching, e.g. counters only known once a write's
+        observation resolves)."""
+        manifest = self._load_manifest(name)
+        cur = manifest["current"]
+        for s in manifest["snapshots"]:
+            if s["snapshot_id"] == cur:
+                s["properties"].update(props)
+                break
+        self._store_manifest(name, manifest)
+
     def rollback(self, name: str, snapshot_id: int) -> None:
         """Point ``current`` at an older snapshot (Iceberg rollback)."""
         manifest = self._load_manifest(name)

@@ -21,6 +21,8 @@ from pyspark.sql.types import (
     BooleanType,
     DoubleType,
     StringType,
+    StructField,
+    StructType,
 )
 
 from ..javaport.hasher import ref_hash
@@ -49,6 +51,7 @@ from ..javaport.urlnorm import (
 __all__ = [
     "ref_hash_udf",
     "host_key_udf",
+    "url_identity_udf",
     "url_path_udf",
     "normalize_seed_udf",
     "normalize_redirect_udf",
@@ -93,6 +96,26 @@ def host_key_udf(url: pd.Series) -> pd.Series:
 def url_path_udf(url: pd.Series) -> pd.Series:
     """Path component used by the robots evaluator (Crawler.java:668-674)."""
     return url.map(lambda u: _extract_path(u) if u is not None else None)
+
+
+_URL_IDENTITY_TYPE = StructType(
+    [
+        StructField("url_hash", StringType(), True),
+        StructField("host", StringType(), True),
+    ]
+)
+
+
+@pandas_udf(_URL_IDENTITY_TYPE)
+def url_identity_udf(url: pd.Series) -> pd.DataFrame:
+    """SHA-1 identity + host key in ONE Arrow round-trip (the per-link
+    hot path ships each URL to Python once, not once per column)."""
+    return pd.DataFrame(
+        {
+            "url_hash": url.map(lambda u: ref_hash(u) if u is not None else None),
+            "host": url.map(lambda u: _host_key(u) if u is not None else None),
+        }
+    )
 
 
 @pandas_udf(StringType())

@@ -124,10 +124,16 @@ class BloomShards:
 
     def filter_unseen(self, spark: SparkSession, candidates: DataFrame, seen: DataFrame) -> DataFrame:
         """Candidates not in ``seen``: Bloom pre-pass + exact anti-join on
-        the maybe-hits only. Zero false negatives by construction."""
+        the maybe-hits only. Zero false negatives by construction.
+
+        The flagged frame is persisted: the clean/maybe split consumes it
+        twice, and without the cache the *entire upstream plan* (link
+        extraction UDFs included) would execute twice."""
         probe = self.probe_udf(spark)
         shard = shard_of_host(F.col("host"), self.n_shards)
-        flagged = candidates.withColumn("_maybe", probe(F.col("url_hash"), shard))
+        flagged = candidates.withColumn(
+            "_maybe", probe(F.col("url_hash"), shard)
+        ).persist()
         clean = flagged.where(~F.col("_maybe")).drop("_maybe")
         maybe = flagged.where(F.col("_maybe")).drop("_maybe")
         verified = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")

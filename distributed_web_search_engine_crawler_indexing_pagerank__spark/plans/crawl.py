@@ -42,10 +42,9 @@ join handles the hot-host link fan-in).
 
 from __future__ import annotations
 
-import math
 from dataclasses import asdict
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -62,7 +61,7 @@ from ..functions.udfs import (
     make_robots_allows_udf,
     normalize_redirect_udf,
     outlinks_udf,
-    ref_hash_udf,
+    url_identity_udf,
     url_path_udf,
 )
 from ..javaport.hasher import ref_hash
@@ -111,6 +110,7 @@ class SparkCrawler:
         config: CrawlConfig | None = None,
         n_bloom_shards: int = 16,
         frontier_partitions: int = 32,
+        checkpoint_interval: int = 1,
     ):
         self.spark = spark
         self.cat = catalog
@@ -121,6 +121,18 @@ class SparkCrawler:
         self.frontier_partitions = frontier_partitions
         self.robots_allows_udf = make_robots_allows_udf(strict=self.cfg.strict_robots)
         self.wave = 0
+        # Durable-snapshot cadence: 1 = every wave (maximum durability);
+        # K>1 keeps state in executor memory (localCheckpoint) between
+        # snapshots and flushes buffered appends at each K-th wave. Waves
+        # are deterministic, so a crash mid-interval replays identically
+        # from the last durable snapshot — no duplicates (buffered appends
+        # were never durable).
+        self.checkpoint_interval = max(1, checkpoint_interval)
+        self._mem: dict[str, DataFrame] = {}
+        self._buf_crawl: list[DataFrame] = []
+        self._buf_trace: list[DataFrame] = []
+        self._buf_seen_rows: list[tuple[str, str]] = []
+        self._wave_props: list[dict] = []
 
     # -- setup ---------------------------------------------------------------
     def init_from_seeds(self, seeds: list[str]) -> None:
@@ -139,9 +151,11 @@ class SparkCrawler:
         self._commit_frontier(frontier, wave=-1)
         empty = self.spark.createDataFrame([], "url_hash string, url string")
         self.cat.write("seen", empty, properties={"wave": -1})
-        self.cat.write(
-            "hosts", self.spark.createDataFrame([], _HOSTS_SCHEMA), properties={"wave": -1}
-        )
+        # hydrate seed hosts up front — the hosts table must cover every
+        # frontier host (step() relies on this invariant).
+        known = self.spark.createDataFrame([], _HOSTS_SCHEMA)
+        seed_hosts = self._new_host_rows(frontier.select("host"), known.select("host"))
+        self.cat.write("hosts", seed_hosts, properties={"wave": -1})
         self.cat.write(
             "crawl",
             self.spark.createDataFrame(
@@ -174,29 +188,25 @@ class SparkCrawler:
         self.bloom.build_from_seen(seen_h)
 
     def _commit_frontier(self, frontier: DataFrame, wave: int, counters: dict | None = None):
-        f = frontier.repartition(self.frontier_partitions, "host")
+        # No repartition-by-host here: plain parquet carries no
+        # partitioner metadata Spark SQL could reuse, so a write-side
+        # shuffle buys nothing — the per-host window shuffles on read
+        # regardless (bucketed/Iceberg tables would change that).
         self.cat.write(
             "frontier",
-            f,
+            frontier,
             properties={"wave": wave, **(counters or {})},
         )
 
     # -- one wave --------------------------------------------------------------
-    def step(self) -> dict:
-        """One micro-iteration. Returns counters; commits all snapshots."""
-        spark, cfg, wave = self.spark, self.cfg, self.wave
-        t = wave * cfg.wave_seconds
-
-        frontier = self.cat.read(spark, "frontier")
-        hosts = self.cat.read(spark, "hosts")
-        seen = self.cat.read(spark, "seen")
-
-        # (1) hydrate host state for hosts newly present in the frontier —
-        #     the once-per-host robots fetch + Crawl-delay parse.
-        new_hosts = (
-            frontier.select("host")
-            .distinct()
-            .join(hosts.select("host"), "host", "left_anti")
+    def _new_host_rows(self, hosts_df: DataFrame, known_hosts: DataFrame) -> DataFrame:
+        """Host-state rows (robots fetch + Crawl-delay parse,
+        Crawler.java:707-762) for hosts not yet in the hosts table.
+        Hydration happens at enqueue time so the schedule path never pays
+        for it — robots content is static, so the timing is unobservable."""
+        return (
+            hosts_df.distinct()
+            .join(known_hosts, "host", "left_anti")
             .join(self.robots, "host", "left")
             .select(
                 "host",
@@ -209,32 +219,58 @@ class SparkCrawler:
                 F.lit(0).alias("fetched_count"),
             )
         )
-        hosts = hosts.unionByName(new_hosts).localCheckpoint(eager=True)
 
-        capped = hosts.where(F.col("fetched_count") >= cfg.max_pages_per_host).select("host")
-        eligible = hosts.where(
-            (F.col("fetched_count") < cfg.max_pages_per_host)
-            & (
-                F.col("last_access").isNull()
-                | (F.lit(t) - F.col("last_access") >= F.col("crawl_delay"))
-            )
-        ).select("host")
+    def step(self) -> dict:
+        """One micro-iteration. Returns counters; commits all snapshots.
 
-        # (4 - spec) retire queued URLs of capped hosts straight to seen.
-        retired = frontier.join(F.broadcast(capped), "host", "left_semi")
-        live = frontier.join(F.broadcast(capped), "host", "left_anti")
+        Shuffle/job discipline — the per-wave fixed cost IS the
+        throughput ceiling at scale:
+        - hosts covering every frontier host is an invariant maintained
+          at enqueue time, so the schedule path starts with ONE
+          frontier⨝hosts join (both sides keyed by host; Catalyst reuses
+          the exchange for the per-host window).
+        - selected vs remaining come from a single window pass — no
+          anti-join.
+        - the fetch join broadcasts the (≤1 row/host) selected set INTO
+          the responses scan (inner broadcast join + tiny anti-join for
+          unfetchable URLs) — the responses table is never shuffled.
+        - counters ride as Observation metrics on the snapshot writes;
+          the only driver round-trip is the seen-additions collect the
+          Bloom shards need anyway.
+        """
+        spark, cfg, wave = self.spark, self.cfg, self.wave
+        t = wave * cfg.wave_seconds
 
-        # (3) per-host pick: one URL per eligible host, BFS priority.
-        w = Window.partitionBy("host").orderBy(*PRIORITY_COLS)
-        selected = (
-            live.join(F.broadcast(eligible), "host", "left_semi")
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
+        frontier = self._mem.get("frontier") or self.cat.read(spark, "frontier")
+        hosts_from_mem = "hosts" in self._mem
+        hosts = self._mem.get("hosts") or self.cat.read(spark, "hosts")
+        if not hosts_from_mem:
+            hosts = hosts.persist()
+        seen = self._seen_view()
+
+        fcols = [f.name for f in FRONTIER_SCHEMA.fields]
+
+        # (2)+(3) politeness & cap gate + per-host pick in one pass:
+        # join host state, then a single window classifies every row.
+        f = frontier.join(
+            hosts.select("host", "crawl_delay", "last_access", "fetched_count"), "host"
         )
+        capped_cond = F.col("fetched_count") >= cfg.max_pages_per_host
+        eligible_cond = F.col("last_access").isNull() | (
+            F.lit(t) - F.col("last_access") >= F.col("crawl_delay")
+        )
+        w = Window.partitionBy("host").orderBy(*PRIORITY_COLS)
+        classified = f.withColumn("_rn", F.row_number().over(w)).persist()
+        retired = classified.where(capped_cond).select(*fcols)
+        selected = classified.where(
+            ~capped_cond & eligible_cond & (F.col("_rn") == 1)
+        ).select(*fcols)
+        remaining = classified.where(
+            ~capped_cond & ~(eligible_cond & (F.col("_rn") == 1))
+        ).select(*fcols)
 
-        # (4) fetch + outcome. Selected is ≤1 row/host — the small side of
-        # both joins; Catalyst/AQE broadcasts it into the responses scan.
+        # (4) fetch + outcome. selected is ≤1 row/host — broadcast it into
+        # the responses scan (inner); unfetchable = tiny broadcast anti.
         sel = (
             selected.join(hosts.select("host", "robots_status", "robots_txt"), "host")
             .withColumn("_path", url_path_udf(F.col("url")))
@@ -245,13 +281,18 @@ class SparkCrawler:
                 ),
             )
         )
-        proc = sel.join(self.responses, "url", "left")
+        resp_cols = ["head_status", "location", "content_type", "content_language", "body"]
+        found = self.responses.join(F.broadcast(sel), "url").persist()
+        missing = sel.join(F.broadcast(found.select("url")), "url", "left_anti")
+        for c in resp_cols:
+            missing = missing.withColumn(
+                c, F.lit(None).cast(dict(self.responses.dtypes)[c])
+            )
+        proc = found.unionByName(missing.select(*found.columns))
         outcome = (
             F.when(~F.col("_allowed"), F.lit("robots_disallowed"))
             .when(F.col("head_status").isNull(), F.lit("unfetchable"))
-            .when(
-                F.col("head_status").isin(*_REDIRECT_CODES), F.lit("redirect")
-            )
+            .when(F.col("head_status").isin(*_REDIRECT_CODES), F.lit("redirect"))
             .when(F.col("head_status") != 200, F.concat(F.lit("status_"), F.col("head_status")))
             .when(
                 F.col("content_language").isNotNull()
@@ -259,12 +300,14 @@ class SparkCrawler:
                 F.lit("non_english"),
             )
             .when(
-                ~F.contains(F.lower(F.coalesce(F.col("content_type"), F.lit(""))), F.lit("text/html")),
+                ~F.contains(
+                    F.lower(F.coalesce(F.col("content_type"), F.lit(""))), F.lit("text/html")
+                ),
                 F.lit("non_html"),
             )
             .otherwise(F.lit("fetched"))
         )
-        proc = proc.withColumn("outcome", outcome).localCheckpoint(eager=True)
+        proc = proc.withColumn("outcome", outcome).persist()
 
         # (5a) saved pages: byte-capped GET body (Crawler.java:312-329).
         saved = (
@@ -281,18 +324,16 @@ class SparkCrawler:
                 "depth",
                 F.lit(wave).alias("wave"),
             )
-            .localCheckpoint(eager=True)
+            .persist()
         )
 
         # (5b) link discovery: page outlinks + redirect targets.
-        links = (
-            saved.select(
-                F.col("url_hash").alias("parent_hash"),
-                F.col("depth").alias("_pdepth"),
-                F.posexplode(outlinks_udf(F.col("url"), F.col("page"))).alias(
-                    "link_idx", "child_url"
-                ),
-            )
+        links = saved.select(
+            F.col("url_hash").alias("parent_hash"),
+            F.col("depth").alias("_pdepth"),
+            F.posexplode(outlinks_udf(F.col("url"), F.col("page"))).alias(
+                "link_idx", "child_url"
+            ),
         )
         redirects = (
             proc.where((F.col("outcome") == "redirect") & F.col("location").isNotNull())
@@ -306,10 +347,11 @@ class SparkCrawler:
         )
         fresh = (
             links.unionByName(redirects)
+            .withColumn("_id", url_identity_udf(F.col("child_url")))
             .select(
                 F.col("child_url").alias("url"),
-                ref_hash_udf(F.col("child_url")).alias("url_hash"),
-                host_key_udf(F.col("child_url")).alias("host"),
+                F.col("_id.url_hash").alias("url_hash"),
+                F.col("_id.host").alias("host"),
                 (F.col("_pdepth") + 1).cast(IntegerType()).alias("depth"),
                 F.lit(wave).cast(IntegerType()).alias("disc_wave"),
                 "parent_hash",
@@ -317,13 +359,13 @@ class SparkCrawler:
             )
         )
 
-        # (6-state) hosts update before the enqueue cap filter (spec step 7
-        # uses end-of-wave counts).
+        # (6-state) hosts update first — spec step 7's cap check uses
+        # end-of-wave counts. touched/saves are ≤1 row/host → broadcast.
         touched = proc.where(F.col("outcome") != "robots_disallowed").select("host").distinct()
         saves_per_host = saved.groupBy("host").agg(F.count("*").alias("_saves"))
-        hosts_new = (
-            hosts.join(touched.withColumn("_touch", F.lit(True)), "host", "left")
-            .join(saves_per_host, "host", "left")
+        hosts_updated = (
+            hosts.join(F.broadcast(touched.withColumn("_touch", F.lit(True))), "host", "left")
+            .join(F.broadcast(saves_per_host), "host", "left")
             .select(
                 "host",
                 "robots_status",
@@ -336,103 +378,239 @@ class SparkCrawler:
                 .cast(IntegerType())
                 .alias("fetched_count"),
             )
-            .localCheckpoint(eager=True)
         )
 
         # seen additions: all selected (every outcome is terminal) + retired.
         seen_add = (
             selected.select("url_hash", "url", "host")
             .unionByName(retired.select("url_hash", "url", "host"))
-            .localCheckpoint(eager=True)
+            .persist()
         )
-        # (5c) enqueue filter: cap (end-of-wave counts) + unseen. This
-        # wave's terminals are not in the Bloom bitmaps yet, so they get an
-        # explicit broadcast anti-join (seen_add is ≤1 row/host — tiny);
-        # the Bloom pre-pass + exact anti-join covers all prior waves.
-        over_cap = hosts_new.where(F.col("fetched_count") >= cfg.max_pages_per_host).select("host")
+
+        # (5c) enqueue filter: this wave's terminals (not in the Bloom
+        # bitmaps yet) via tiny broadcast anti-join; all prior waves via
+        # Bloom pre-pass + exact anti-join; cap via end-of-wave counts.
+        over_cap = hosts_updated.where(
+            F.col("fetched_count") >= cfg.max_pages_per_host
+        ).select("host")
         fresh = fresh.join(F.broadcast(over_cap), "host", "left_anti")
         fresh = fresh.join(F.broadcast(seen_add.select("url_hash")), "url_hash", "left_anti")
-        fresh = self.bloom.filter_unseen(spark, fresh, seen)
+        fresh = self.bloom.filter_unseen(spark, fresh, seen).persist()
+
+        # enqueue-time host hydration keeps the invariant: hosts table
+        # covers every host present in the next frontier.
+        hosts_new = hosts_updated.unionByName(
+            self._new_host_rows(fresh.select("host"), hosts_updated.select("host"))
+        )
 
         # priority-min merge: dedups fresh vs itself and vs the remaining
         # frontier, keeping the best (depth, disc_wave, parent_hash,
         # link_idx) per url_hash — first-writer-wins (Crawler.java:376-388).
-        remaining = live.join(
-            selected.select("url_hash").withColumnRenamed("url_hash", "url_hash"),
-            "url_hash",
-            "left_anti",
-        )
         merged = (
             remaining.unionByName(fresh)
             .groupBy("url_hash")
-            .agg(
-                F.min(F.struct(*PRIORITY_COLS, "url", "host")).alias("_s")
-            )
+            .agg(F.min(F.struct(*PRIORITY_COLS, "url", "host")).alias("_s"))
             .select("url_hash", "_s.url", "_s.host", *[f"_s.{c}" for c in PRIORITY_COLS])
-            .localCheckpoint(eager=True)
+            .persist()
         )
 
         trace_add = proc.select(
             F.lit(wave).alias("wave"), "url", "url_hash", "host", "depth", "outcome"
         )
 
-        # (6) counters per host shard (north_rule lineage + metrics).
-        shard = shard_of_host(F.col("host"), self.bloom.n_shards)
-        counters = {
-            "fetched_by_shard": _shard_counts(saved, shard),
-            "seen_by_shard": _shard_counts(seen_add, shard),
-            "deferred_by_shard": _shard_counts(merged, shard),
-        }
-        n_saved = saved.count()
-        n_selected = seen_add.count()
-
-        # update the driver-side Bloom shards with this wave's terminals
-        # (≤1/host — small), keeping zero false negatives across waves.
+        # seen collect — the one driver round-trip: feeds the Bloom shards
+        # AND the seen counters (≤1 row/host, bounded by politeness).
+        n_shards = self.bloom.n_shards
         add_rows = seen_add.select(
-            "url_hash", shard_of_host(F.col("host"), self.bloom.n_shards).alias("shard")
+            "url_hash", "url", shard_of_host(F.col("host"), n_shards).alias("shard")
         ).collect()
         self.bloom.add((r["url_hash"], r["shard"]) for r in add_rows)
+        seen_by_shard: dict[str, int] = {}
+        for r in add_rows:
+            seen_by_shard[str(r["shard"])] = seen_by_shard.get(str(r["shard"]), 0) + 1
 
-        # commit snapshots
-        props = {"wave": wave, "config": asdict(cfg), **counters}
-        self._commit_frontier(merged, wave=wave, counters=counters)
-        self.cat.write("seen", seen_add.select("url_hash", "url"), mode="append", properties=props)
-        self.cat.write("hosts", hosts_new, properties=props)
-        self.cat.write("crawl", saved, mode="append", properties={**props, "pages": n_saved})
-        self.cat.write("trace", trace_add, mode="append", properties=props)
+        # (6) fetched/deferred per-shard counters ride as Observation
+        # metrics on the materializing actions — no extra jobs.
+        shard = shard_of_host(F.col("host"), n_shards)
+        obs_crawl = Observation(f"crawl-{wave}")
+        obs_frontier = Observation(f"frontier-{wave}")
+        saved_obs = saved.observe(
+            obs_crawl, F.count(F.lit(1)).alias("n"), *_shard_metric_exprs(shard, n_shards)
+        )
+        merged_obs = merged.observe(
+            obs_frontier, F.count(F.lit(1)).alias("n"), *_shard_metric_exprs(shard, n_shards)
+        )
+
+        base_props = {"wave": wave, "config": asdict(cfg), "seen_by_shard": seen_by_shard}
+        durable = (wave + 1) % self.checkpoint_interval == 0
+
+        prev_mem = dict(self._mem)
+        if durable:
+            fetched, deferred = self._commit_durable(
+                saved_obs, merged_obs, hosts_new, trace_add, add_rows, base_props,
+                obs_crawl, obs_frontier,
+            )
+        else:
+            # fast path: materialize next-wave state in executor memory;
+            # buffer the appends until the next durable snapshot.
+            saved_m = saved_obs.localCheckpoint(eager=True)
+            fetched = obs_crawl.get
+            merged_m = merged_obs.localCheckpoint(eager=True)
+            deferred = obs_frontier.get
+            hosts_m = hosts_new.localCheckpoint(eager=True)
+            trace_m = trace_add.localCheckpoint(eager=True)
+            self._buf_crawl.append(saved_m)
+            self._buf_trace.append(trace_m)
+            self._buf_seen_rows.extend((r["url_hash"], r["url"]) for r in add_rows)
+            self._mem = {"frontier": merged_m, "hosts": hosts_m}
+
+        counters = {
+            "seen_by_shard": seen_by_shard,
+            "fetched_by_shard": _metrics_to_shards(fetched, n_shards),
+            "deferred_by_shard": _metrics_to_shards(deferred, n_shards),
+            "pages": int(fetched["n"]),
+        }
+        if durable:
+            # patch the full per-shard counters into the just-committed
+            # snapshots (only known once the observations resolve) — the
+            # north_rule's per-partition lineage record.
+            final_props = {**counters, "waves": self._wave_props + [base_props["wave"]]}
+            for table in ("frontier", "crawl", "seen", "hosts", "trace"):
+                self.cat.update_properties(table, final_props)
+            self._wave_props = []
+        else:
+            self._wave_props.append(wave)
+
+        for df in (hosts, classified, found, proc, saved, seen_add, fresh, merged):
+            df.unpersist()
+        for df in prev_mem.values():
+            df.unpersist()
 
         self.wave += 1
         return {
             "wave": wave,
-            "selected": n_selected,
-            "saved": n_saved,
-            "frontier": merged.count(),
+            "selected": len(add_rows),
+            "saved": int(fetched["n"]),
+            "frontier": int(deferred["n"]),
             **counters,
         }
+
+    def _commit_durable(
+        self, saved_obs, merged_obs, hosts_new, trace_add, add_rows, base_props,
+        obs_crawl, obs_frontier,
+    ):
+        """Write all five snapshots (flushing any fast-path buffers).
+        The crawl write goes first to materialize the shared caches; the
+        rest are independent DAGs submitted as concurrent Spark jobs."""
+        crawl_df = saved_obs
+        for buf in self._buf_crawl:
+            crawl_df = buf.unionByName(crawl_df)
+        trace_df = trace_add
+        for buf in self._buf_trace:
+            trace_df = buf.unionByName(trace_df)
+        seen_rows = self._buf_seen_rows + [(r["url_hash"], r["url"]) for r in add_rows]
+        seen_df = self.spark.createDataFrame(
+            seen_rows, "url_hash string, url string"
+        )
+
+        # writes are sequential on purpose: concurrent jobs here burst the
+        # Python-UDF worker pool (each extra concurrent stage forks a new
+        # set of workers — measured as 10-20s "time to initialize Python
+        # workers" per task), which costs far more than job overlap saves.
+        self.cat.write("crawl", crawl_df, mode="append", properties=base_props)
+        fetched = obs_crawl.get
+        self._commit_frontier(merged_obs, base_props["wave"], base_props)
+        deferred = obs_frontier.get
+        self.cat.write("seen", seen_df, "append", base_props)
+        self.cat.write("hosts", hosts_new, "overwrite", base_props)
+        self.cat.write("trace", trace_df, "append", base_props)
+
+        for buf in self._buf_crawl + self._buf_trace:
+            buf.unpersist()
+        self._buf_crawl, self._buf_trace, self._buf_seen_rows = [], [], []
+        self._mem = {}
+        return fetched, deferred
+
+    def _seen_view(self) -> DataFrame:
+        """Durable seen ledger plus fast-path buffered additions."""
+        seen = self.cat.read(self.spark, "seen")
+        if self._buf_seen_rows:
+            seen = seen.unionByName(
+                self.spark.createDataFrame(
+                    self._buf_seen_rows, "url_hash string, url string"
+                )
+            )
+        return seen
+
+    def flush(self) -> None:
+        """Force a durable snapshot of any fast-path in-memory state +
+        buffered appends (no-op when already durable)."""
+        if not self._mem and not self._buf_crawl and not self._buf_seen_rows:
+            return
+        props = {"wave": self.wave - 1, "flushed": True, "waves": self._wave_props}
+        if self._buf_crawl:
+            crawl_df = self._buf_crawl[0]
+            for buf in self._buf_crawl[1:]:
+                crawl_df = crawl_df.unionByName(buf)
+            self.cat.write("crawl", crawl_df, mode="append", properties=props)
+        if self._buf_trace:
+            trace_df = self._buf_trace[0]
+            for buf in self._buf_trace[1:]:
+                trace_df = trace_df.unionByName(buf)
+            self.cat.write("trace", trace_df, mode="append", properties=props)
+        if self._buf_seen_rows:
+            self.cat.write(
+                "seen",
+                self.spark.createDataFrame(
+                    self._buf_seen_rows, "url_hash string, url string"
+                ),
+                mode="append",
+                properties=props,
+            )
+        if "frontier" in self._mem:
+            self._commit_frontier(self._mem["frontier"], self.wave - 1, props)
+        if "hosts" in self._mem:
+            self.cat.write("hosts", self._mem["hosts"], properties=props)
+        for df in self._buf_crawl + self._buf_trace + list(self._mem.values()):
+            df.unpersist()
+        self._buf_crawl, self._buf_trace, self._buf_seen_rows = [], [], []
+        self._mem, self._wave_props = {}, []
 
     # -- driver loop -------------------------------------------------------------
     def total_pages(self) -> int:
         return self.cat.read(self.spark, "crawl").count()
 
     def run(self, max_waves: int | None = None, verbose: bool = False) -> int:
-        """Micro-iterate until target pages, empty frontier, or wave cap.
+        """Micro-iterate until target pages, empty frontier, or wave cap;
+        always leaves durable state (flushes fast-path buffers at exit).
         Returns the number of waves executed in this call."""
         limit = max_waves if max_waves is not None else self.cfg.max_waves
         executed = 0
-        while self.wave < limit:
-            if self.total_pages() >= self.cfg.target_pages:
-                break
-            if self.cat.read(self.spark, "frontier").limit(1).count() == 0:
-                break
+        pages = self.total_pages()
+        frontier_n = self.cat.read(self.spark, "frontier").limit(1).count()
+        while self.wave < limit and pages < self.cfg.target_pages and frontier_n > 0:
             stats = self.step()
             executed += 1
+            pages += stats["saved"]
+            frontier_n = stats["frontier"]
             if verbose:
-                print(f"wave {stats['wave']}: selected={stats['selected']} saved={stats['saved']} frontier={stats['frontier']}")
-            if stats["selected"] == 0 and stats["frontier"] == 0:
-                break
+                print(
+                    f"wave {stats['wave']}: selected={stats['selected']} "
+                    f"saved={stats['saved']} frontier={stats['frontier']}"
+                )
+        self.flush()
         return executed
 
 
-def _shard_counts(df: DataFrame, shard_col) -> dict[str, int]:
-    rows = df.groupBy(shard_col.alias("shard")).agg(F.count("*").alias("n")).collect()
-    return {str(r["shard"]): int(r["n"]) for r in rows}
+def _shard_metric_exprs(shard_col, n_shards: int):
+    return [
+        F.sum((shard_col == i).cast("long")).alias(f"s{i}") for i in range(n_shards)
+    ]
+
+
+def _metrics_to_shards(metrics: dict, n_shards: int) -> dict[str, int]:
+    return {
+        str(i): int(metrics.get(f"s{i}") or 0)
+        for i in range(n_shards)
+        if (metrics.get(f"s{i}") or 0)
+    }

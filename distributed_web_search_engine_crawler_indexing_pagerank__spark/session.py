@@ -47,9 +47,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # binary/html columns make Arrow batches memory-heavy: 1000 rows ×
+        # ~50 KB pages ≈ 50 MB in flight per task — bounded at high
+        # parallelism (10k-row default × 32 tasks would GC-thrash).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+        # same reasoning for the vectorized parquet reader: default 4096
+        # rows × tens-of-KB binary cells = ~100 MB live per task — at high
+        # task counts that is pure GC churn. 512 × 50 KB ≈ 25 MB.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

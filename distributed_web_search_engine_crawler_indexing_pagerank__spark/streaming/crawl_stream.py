@@ -1,0 +1,108 @@
+"""Structured Streaming skin for the crawl engine (SURVEY.md §1.4).
+
+The crawl itself is batch-iterative by design (each micro-iteration reads
+the frontier snapshot — BASELINE.json north_star), matching the
+reference's ``while`` loop (``src/jobs/Crawler.java:131-146``). The
+optional streaming skin wires the same per-batch logic into
+``foreachBatch``: a stream of newly discovered seed URLs (e.g. a
+sitemap/WARC feed landing as files) is consumed with ``readStream``, each
+micro-batch is canonicalized, deduplicated against the seen ledger, and
+appended to the frontier — after which the batch scheduler drains it.
+
+Also provides a windowed crawl-telemetry aggregation over the trace
+table as a streaming source: outcome counts per host per event-time
+window with a watermark for late data — the standard monitoring feed a
+production crawl would run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.udfs import normalize_seed_udf, url_identity_udf
+
+__all__ = ["seed_ingest_stream", "trace_window_stream"]
+
+
+def seed_ingest_stream(
+    spark: SparkSession,
+    seed_dir: str,
+    crawler,
+    checkpoint_dir: str,
+):
+    """readStream over a directory of seed files (one URL per line) →
+    foreachBatch: canonicalize, hash, anti-join the seen ledger, and
+    append to the frontier table. Returns the StreamingQuery.
+
+    Run with ``.trigger(availableNow=True)`` semantics for tests; in
+    production the stream keeps feeding the frontier while the batch
+    scheduler loops.
+    """
+    raw = spark.readStream.format("text").load(seed_dir)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        seeds = (
+            batch_df.select(normalize_seed_udf(F.col("value")).alias("url"))
+            .where(F.col("url").isNotNull())
+            .withColumn("_id", url_identity_udf(F.col("url")))
+            .select(
+                "url",
+                F.col("_id.url_hash").alias("url_hash"),
+                F.col("_id.host").alias("host"),
+                F.lit(0).cast("int").alias("depth"),
+                F.lit(-1).cast("int").alias("disc_wave"),
+                F.lit("").alias("parent_hash"),
+                F.lit(int(batch_id)).cast("int").alias("link_idx"),
+            )
+            .dropDuplicates(["url_hash"])
+        )
+        frontier = crawler.cat.read(crawler.spark, "frontier")
+        seen = crawler.cat.read(crawler.spark, "seen")
+        fresh = (
+            seeds.join(seen.select("url_hash"), "url_hash", "left_anti")
+            .join(frontier.select("url_hash"), "url_hash", "left_anti")
+        )
+        merged = frontier.unionByName(fresh.select(*frontier.columns))
+        crawler.cat.write(
+            "frontier", merged, properties={"stream_batch": int(batch_id)}
+        )
+
+    return (
+        raw.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def trace_window_stream(
+    spark: SparkSession,
+    trace_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+):
+    """Streaming crawl telemetry: outcome counts per host per event-time
+    window, watermarked for late rows. Source = trace rows landing as
+    parquet (wave id mapped to a synthetic event time)."""
+    schema = "wave int, url string, url_hash string, host string, depth int, outcome string"
+    src = spark.readStream.schema(schema).parquet(trace_dir)
+    agg = (
+        src.withColumn(
+            "event_time",
+            (F.lit(0).cast("timestamp") + F.col("wave").cast("long").cast("interval second")),
+        )
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "host", "outcome")
+        .agg(F.count("*").alias("n"))
+        .select("window.start", "window.end", "host", "outcome", "n")
+    )
+    return (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -131,11 +131,17 @@ def _target(seed: int, key: int, host_idx: int, n_hosts: int, pages_base: int) -
     return t_host, t_page
 
 
-def page_html(seed: int, host_idx: int, page_idx: int, n_hosts: int, pages_base: int) -> str:
-    """Deterministic HTML with title/meta/script/style and a seeded link mix."""
+def page_html(
+    seed: int, host_idx: int, page_idx: int, n_hosts: int, pages_base: int, heft: int = 1
+) -> str:
+    """Deterministic HTML with title/meta/script/style and a seeded link mix.
+
+    ``heft`` scales body size and link count (heft=1 ≈ 1-2 KB pages for
+    unit fixtures; heft≈30-50 ≈ 20-40 KB pages for realistic bench load).
+    It does not change which branches/filters are exercised."""
     h = _h(seed, "pg", host_idx, page_idx)
     me = host_meta(seed, host_idx, n_hosts, pages_base)
-    n_links = 3 + h % 5
+    n_links = 3 + h % 5 + (4 * min(heft, 10) if heft > 1 else 0)
     anchors: list[str] = []
     for li in range(n_links):
         key = _h(seed, "lk", host_idx, page_idx, li)
@@ -169,7 +175,12 @@ def page_html(seed: int, host_idx: int, page_idx: int, n_hosts: int, pages_base:
         )
     if h % 6 == 0 and anchors:
         anchors.append(anchors[0])  # duplicate link
-    words = [_WORDS[_h(seed, "w", host_idx, page_idx, i) % len(_WORDS)] for i in range(40 + h % 80)]
+    # heft tiles the seeded base words rather than hashing per word —
+    # generation stays cheap while extraction cost scales with heft.
+    words = [
+        _WORDS[_h(seed, "w", host_idx, page_idx, i) % len(_WORDS)]
+        for i in range(40 + h % 80)
+    ] * heft
     body_text = " ".join(words)
     return (
         "<html><head>"
@@ -215,7 +226,7 @@ def _response_for(
 
 
 def _rows_for_hosts(
-    seed: int, host_indices: list[int], n_hosts: int, pages_base: int
+    seed: int, host_indices: list[int], n_hosts: int, pages_base: int, heft: int = 1
 ) -> tuple[list[dict], list[dict], list[dict]]:
     pages, responses, robots = [], [], []
     for hi in host_indices:
@@ -224,7 +235,7 @@ def _rows_for_hosts(
             {"host": hm.host_key, "robots_status": hm.robots_status, "robots_txt": hm.robots_txt}
         )
         for pi in range(hm.n_pages):
-            html = page_html(seed, hi, pi, n_hosts, pages_base)
+            html = page_html(seed, hi, pi, n_hosts, pages_base, heft)
             url = page_url(seed, hi, pi, n_hosts, pages_base)
             resp = _response_for(seed, hi, pi, n_hosts, pages_base, html)
             lang = (resp["content_language"] or "en").split("-")[0]
@@ -242,14 +253,18 @@ def _rows_for_hosts(
 
 
 def gen_web_local(
-    seed: int, n_hosts: int, pages_base: int
+    seed: int, n_hosts: int, pages_base: int, heft: int = 1
 ) -> tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
     """(pages, fetch_responses, robots) as pandas frames — test scale."""
-    pages, responses, robots = _rows_for_hosts(seed, list(range(n_hosts)), n_hosts, pages_base)
+    pages, responses, robots = _rows_for_hosts(
+        seed, list(range(n_hosts)), n_hosts, pages_base, heft
+    )
     return pd.DataFrame(pages), pd.DataFrame(responses), pd.DataFrame(robots)
 
 
-def gen_web_spark(spark, seed: int, n_hosts: int, pages_base: int, partitions: int = 32):
+def gen_web_spark(
+    spark, seed: int, n_hosts: int, pages_base: int, partitions: int = 32, heft: int = 1
+):
     """Distributed generation over ``spark.range(n_hosts)`` — bench scale.
 
     Returns (pages_df, responses_df, robots_df) with schemas matching
@@ -264,7 +279,7 @@ def gen_web_spark(spark, seed: int, n_hosts: int, pages_base: int, partitions: i
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for b in batches:
                 idx = [int(i) for i in b["id"]]
-                pages, responses, robots = _rows_for_hosts(seed, idx, n_hosts, pages_base)
+                pages, responses, robots = _rows_for_hosts(seed, idx, n_hosts, pages_base, heft)
                 out = {"pages": pages, "responses": responses, "robots": robots}[kind]
                 if out:
                     yield pd.DataFrame(out)

@@ -23,14 +23,14 @@ from distributed_web_search_engine_crawler_indexing_pagerank__spark.plans.crawl 
 )
 
 SEED = 11  # covers every outcome branch incl. robots_disallowed/non_english
-N_HOSTS = 8
+N_HOSTS = 10
 PAGES_BASE = 12
-N_SEEDS = 4
+N_SEEDS = 5
 
 CFG = CrawlConfig(
-    target_pages=60,
-    max_pages_per_host=8,
-    max_waves=25,
+    target_pages=45,
+    max_pages_per_host=5,
+    max_waves=9,
     strict_robots=True,  # exercise real robots gating, not the quirk
 )
 
@@ -86,6 +86,12 @@ def test_fetch_schedule_matches(oracle_result, spark_crawler):
     fetched = [t for t in oracle_result.trace if t["outcome"] == "fetched"]
     assert len(fetched) >= 10
     assert max(t["wave"] for t in oracle_result.trace) >= 3
+    # every outcome branch is exercised by this fixture
+    outcomes = {t["outcome"] for t in oracle_result.trace}
+    assert {
+        "fetched", "redirect", "non_english", "non_html",
+        "robots_disallowed", "unfetchable", "status_404",
+    } <= outcomes
 
 
 def test_url_seen_set_matches(oracle_result, spark_crawler):
@@ -136,6 +142,31 @@ def test_host_cap_respected(oracle_result, spark_crawler):
     for r in rows:
         per_host[r["host"]] = per_host.get(r["host"], 0) + 1
     assert per_host and max(per_host.values()) <= CFG.max_pages_per_host
+
+
+def test_fast_mode_interval_equivalence(spark, web, tmp_path_factory, spark_crawler):
+    """checkpoint_interval=3 (in-memory state between durable snapshots)
+    must produce the exact same crawl: identical trace, seen set, and
+    final frontier after the run's closing flush."""
+    _, responses, robots = web
+    fast = SparkCrawler(
+        spark,
+        Catalog(str(tmp_path_factory.mktemp("crawlcat-fast"))),
+        spark.createDataFrame(responses),
+        spark.createDataFrame(robots),
+        CFG,
+        n_bloom_shards=4,
+        checkpoint_interval=3,
+    )
+    fast.init_from_seeds(webgen.seed_urls(SEED, N_HOSTS, PAGES_BASE, N_SEEDS))
+    fast.run()
+    assert _spark_trace(fast) == _spark_trace(spark_crawler)
+    a = {r["url_hash"] for r in fast.cat.read(spark, "seen").collect()}
+    b = {r["url_hash"] for r in spark_crawler.cat.read(spark, "seen").collect()}
+    assert a == b
+    fa = {r["url_hash"] for r in fast.cat.read(spark, "frontier").collect()}
+    fb = {r["url_hash"] for r in spark_crawler.cat.read(spark, "frontier").collect()}
+    assert fa == fb
 
 
 def test_resume_from_checkpoint(spark, web, tmp_path_factory, spark_crawler):
