@@ -1,0 +1,82 @@
+"""Structured Streaming skins: seed ingest (foreachBatch) + windowed
+trace telemetry, both driven with availableNow triggers."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from distributed_web_search_engine_crawler_indexing_pagerank__spark import webgen
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog import Catalog
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.oracle.simulator import (
+    CrawlConfig,
+)
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.plans.crawl import (
+    SparkCrawler,
+)
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.streaming.crawl_stream import (
+    seed_ingest_stream,
+    trace_window_stream,
+)
+
+SEED, N_HOSTS, PAGES = 11, 10, 12
+
+
+@pytest.fixture()
+def crawler(spark, tmp_path):
+    _, responses, robots = webgen.gen_web_local(SEED, N_HOSTS, PAGES)
+    cfg = CrawlConfig(target_pages=30, max_pages_per_host=5, max_waves=6, strict_robots=True)
+    c = SparkCrawler(
+        spark,
+        Catalog(str(tmp_path / "cat")),
+        spark.createDataFrame(responses),
+        spark.createDataFrame(robots),
+        cfg,
+        n_bloom_shards=4,
+    )
+    c.init_from_seeds(webgen.seed_urls(SEED, N_HOSTS, PAGES, 2))
+    return c
+
+
+def test_seed_ingest_stream_feeds_frontier(spark, tmp_path, crawler):
+    before = crawler.cat.read(spark, "frontier").count()
+    seed_dir = tmp_path / "seeds"
+    seed_dir.mkdir()
+    urls = webgen.seed_urls(SEED, N_HOSTS, PAGES, 6)[2:]  # 4 new hosts
+    (seed_dir / "batch1.txt").write_text("\n".join(urls + [urls[0], "javascript:void(0)"]))
+    q = seed_ingest_stream(spark, str(seed_dir), crawler, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    after = crawler.cat.read(spark, "frontier")
+    assert after.count() == before + len(urls)
+    # re-running the stream with no new files is a no-op
+    q2 = seed_ingest_stream(spark, str(seed_dir), crawler, str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert crawler.cat.read(spark, "frontier").count() == before + len(urls)
+
+
+def test_trace_window_stream(spark, tmp_path, crawler):
+    crawler.run(max_waves=3)
+    # point the stream at the trace table's data directories
+    snap = crawler.cat.current_snapshot("trace")
+    src = os.path.dirname(snap.data_dirs[0])
+    out = str(tmp_path / "telemetry")
+    q = trace_window_stream(
+        spark,
+        f"{src}/data-*",
+        str(tmp_path / "telemetry-ckpt"),
+        out,
+        window="2 seconds",
+        watermark="0 seconds",
+    )
+    q.awaitTermination(120)
+    res = spark.read.parquet(out)
+    assert res.count() > 0
+    assert set(res.columns) == {"start", "end", "host", "outcome", "n"}
+    # append mode emits only CLOSED windows: with max event time = wave 2
+    # (2s) and a 0s watermark, window [0,2) is closed, [2,4) still open —
+    # exactly the late-data semantics the watermark is for.
+    total = sum(r["n"] for r in res.collect())
+    trace = crawler.cat.read(spark, "trace")
+    expected = trace.where("wave < 2").count()
+    assert total == expected
