@@ -126,14 +126,17 @@ class BloomShards:
         """Candidates not in ``seen``: Bloom pre-pass + exact anti-join on
         the maybe-hits only. Zero false negatives by construction.
 
-        The flagged frame is persisted: the clean/maybe split consumes it
-        twice, and without the cache the *entire upstream plan* (link
-        extraction UDFs included) would execute twice."""
+        The flagged frame is EAGERLY materialized (localCheckpoint): the
+        clean/maybe split consumes it from two scans in one job, and a
+        lazily-persisted cache lets those scans race and compute cold
+        partitions twice — doubling the entire upstream (link-extraction
+        UDFs included). One explicit materialization job is far cheaper.
+        """
         probe = self.probe_udf(spark)
         shard = shard_of_host(F.col("host"), self.n_shards)
         flagged = candidates.withColumn(
             "_maybe", probe(F.col("url_hash"), shard)
-        ).persist()
+        ).localCheckpoint(eager=True)
         clean = flagged.where(~F.col("_maybe")).drop("_maybe")
         maybe = flagged.where(F.col("_maybe")).drop("_maybe")
         verified = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")

@@ -260,7 +260,9 @@ class SparkCrawler:
             F.lit(t) - F.col("last_access") >= F.col("crawl_delay")
         )
         w = Window.partitionBy("host").orderBy(*PRIORITY_COLS)
-        classified = f.withColumn("_rn", F.row_number().over(w)).persist()
+        # eager: selected/remaining/retired scan this 3× in one job — a
+        # lazy cache lets the scans race and recompute the window.
+        classified = f.withColumn("_rn", F.row_number().over(w)).localCheckpoint(eager=True)
         retired = classified.where(capped_cond).select(*fcols)
         selected = classified.where(
             ~capped_cond & eligible_cond & (F.col("_rn") == 1)
@@ -307,7 +309,9 @@ class SparkCrawler:
             )
             .otherwise(F.lit("fetched"))
         )
-        proc = proc.withColumn("outcome", outcome).persist()
+        # eager for the same race reason: saved/redirects/touched/trace all
+        # scan proc; the page bodies are stored once here.
+        proc = proc.withColumn("outcome", outcome).localCheckpoint(eager=True)
 
         # (5a) saved pages: byte-capped GET body (Crawler.java:312-329).
         saved = (
@@ -396,6 +400,8 @@ class SparkCrawler:
         fresh = fresh.join(F.broadcast(over_cap), "host", "left_anti")
         fresh = fresh.join(F.broadcast(seen_add.select("url_hash")), "url_hash", "left_anti")
         fresh = self.bloom.filter_unseen(spark, fresh, seen).persist()
+        # (flagged inside filter_unseen is already materialized; fresh is a
+        # cheap projection over it + the maybe anti-join)
 
         # enqueue-time host hydration keeps the invariant: hosts table
         # covers every host present in the next frontier.
