@@ -30,6 +30,7 @@ import os
 import shutil
 import tempfile
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -109,26 +110,44 @@ class Catalog:
                 return Snapshot.from_json(s)
         return None
 
+    def stage_data(self, name: str, df: DataFrame) -> str:
+        """Write a data dir WITHOUT committing it to the manifest —
+        Iceberg-style staged files. A later ``write(..., staged_dirs=...)``
+        makes them visible atomically; dirs staged by a crashed run are
+        invisible orphans reclaimed by ``vacuum``."""
+        data_dir = os.path.join(
+            self._table_dir(name), f"data-staged-{uuid.uuid4().hex[:12]}"
+        )
+        df.write.mode("overwrite").parquet(data_dir)
+        return data_dir
+
     def write(
         self,
         name: str,
-        df: DataFrame,
+        df: DataFrame | None,
         mode: str = "overwrite",
         properties: dict[str, Any] | None = None,
         partition_by: list[str] | None = None,
+        staged_dirs: list[str] | None = None,
     ) -> Snapshot:
-        """Commit a new snapshot. ``append`` unions the parent's data dirs."""
+        """Commit a new snapshot. ``append`` unions the parent's data
+        dirs; ``staged_dirs`` (from ``stage_data``) are included before
+        the freshly written dir (``df=None`` commits staged dirs only)."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        if df is None and not staged_dirs:
+            raise ValueError("write needs a DataFrame and/or staged_dirs")
         manifest = self._load_manifest(name)
         parent = self.current_snapshot(name)
         snap_id = (max((s["snapshot_id"] for s in manifest["snapshots"]), default=0)) + 1
-        data_dir = os.path.join(self._table_dir(name), f"data-{snap_id:06d}")
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_dir)
-        dirs = [data_dir]
+        dirs = list(staged_dirs or [])
+        if df is not None:
+            data_dir = os.path.join(self._table_dir(name), f"data-{snap_id:06d}")
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(data_dir)
+            dirs.append(data_dir)
         if mode == "append" and parent is not None:
             dirs = parent.data_dirs + dirs
         snap = Snapshot(

@@ -129,7 +129,7 @@ class SparkCrawler:
         # were never durable).
         self.checkpoint_interval = max(1, checkpoint_interval)
         self._mem: dict[str, DataFrame] = {}
-        self._buf_crawl: list[DataFrame] = []
+        self._buf_crawl: list[str] = []  # staged crawl data dirs
         self._buf_trace: list[DataFrame] = []
         self._buf_seen_rows: list[tuple[str, str]] = []
         self._wave_props: list[dict] = []
@@ -273,6 +273,13 @@ class SparkCrawler:
 
         # (4) fetch + outcome. selected is ≤1 row/host — broadcast it into
         # the responses scan (inner); unfetchable = tiny broadcast anti.
+        #
+        # MEMORY DISCIPLINE: page bodies are never cached in executor
+        # memory. The outcome/trace/host logic reads only header columns
+        # (the columnar reader prunes `body` from those scans entirely);
+        # the bodies flow through exactly ONE pass — responses scan →
+        # byte-cap → staged crawl parquet — and link extraction reads the
+        # (url, page) columns back from that staged file.
         sel = (
             selected.join(hosts.select("host", "robots_status", "robots_txt"), "host")
             .withColumn("_path", url_path_udf(F.col("url")))
@@ -282,15 +289,17 @@ class SparkCrawler:
                     F.col("robots_txt"), F.col("robots_status"), F.col("_path")
                 ),
             )
+            .localCheckpoint(eager=True)  # lean; feeds three broadcast builds
         )
-        resp_cols = ["head_status", "location", "content_type", "content_language", "body"]
-        found = self.responses.join(F.broadcast(sel), "url").persist()
-        missing = sel.join(F.broadcast(found.select("url")), "url", "left_anti")
-        for c in resp_cols:
+        resp_meta_cols = ["head_status", "location", "content_type", "content_language"]
+        resp_meta = self.responses.select("url", *resp_meta_cols)  # body pruned
+        found_meta = resp_meta.join(F.broadcast(sel), "url")
+        missing = sel.join(F.broadcast(found_meta.select("url")), "url", "left_anti")
+        for c in resp_meta_cols:
             missing = missing.withColumn(
                 c, F.lit(None).cast(dict(self.responses.dtypes)[c])
             )
-        proc = found.unionByName(missing.select(*found.columns))
+        proc = found_meta.unionByName(missing.select(*found_meta.columns))
         outcome = (
             F.when(~F.col("_allowed"), F.lit("robots_disallowed"))
             .when(F.col("head_status").isNull(), F.lit("unfetchable"))
@@ -309,13 +318,20 @@ class SparkCrawler:
             )
             .otherwise(F.lit("fetched"))
         )
-        # eager for the same race reason: saved/redirects/touched/trace all
-        # scan proc; the page bodies are stored once here.
+        # eager (lean — no body column): redirects/touched/trace/saved-keys
+        # all scan proc; the race-free materialization is tiny.
         proc = proc.withColumn("outcome", outcome).localCheckpoint(eager=True)
 
-        # (5a) saved pages: byte-capped GET body (Crawler.java:312-329).
+        # (5a) saved pages: the ONE body-bearing pass — responses scan ⨝
+        # broadcast(fetched keys) → byte-capped GET body
+        # (Crawler.java:312-329) → staged crawl parquet (manifest-committed
+        # at the durable snapshot; orphaned by a crash — never duplicated).
+        fetched_keys = proc.where(F.col("outcome") == "fetched").select(
+            "url", "url_hash", "host", "content_type", "depth"
+        )
         saved = (
-            proc.where(F.col("outcome") == "fetched")
+            self.responses.select("url", "body")
+            .join(F.broadcast(fetched_keys), "url")
             .withColumn("page", F.expr(f"substring(body, 1, {cfg.byte_cap})"))
             .select(
                 "url",
@@ -328,11 +344,19 @@ class SparkCrawler:
                 "depth",
                 F.lit(wave).alias("wave"),
             )
-            .persist()
         )
+        n_shards = self.bloom.n_shards
+        shard = shard_of_host(F.col("host"), n_shards)
+        obs_crawl = Observation(f"crawl-{wave}")
+        saved_obs = saved.observe(
+            obs_crawl, F.count(F.lit(1)).alias("n"), *_shard_metric_exprs(shard, n_shards)
+        )
+        crawl_dir = self.cat.stage_data("crawl", saved_obs)
+        fetched = obs_crawl.get
+        saved_rb = spark.read.parquet(crawl_dir)  # read-back, columns pruned
 
         # (5b) link discovery: page outlinks + redirect targets.
-        links = saved.select(
+        links = saved_rb.select(
             F.col("url_hash").alias("parent_hash"),
             F.col("depth").alias("_pdepth"),
             F.posexplode(outlinks_udf(F.col("url"), F.col("page"))).alias(
@@ -366,7 +390,7 @@ class SparkCrawler:
         # (6-state) hosts update first — spec step 7's cap check uses
         # end-of-wave counts. touched/saves are ≤1 row/host → broadcast.
         touched = proc.where(F.col("outcome") != "robots_disallowed").select("host").distinct()
-        saves_per_host = saved.groupBy("host").agg(F.count("*").alias("_saves"))
+        saves_per_host = fetched_keys.groupBy("host").agg(F.count("*").alias("_saves"))
         hosts_updated = (
             hosts.join(F.broadcast(touched.withColumn("_touch", F.lit(True))), "host", "left")
             .join(F.broadcast(saves_per_host), "host", "left")
@@ -435,14 +459,10 @@ class SparkCrawler:
         for r in add_rows:
             seen_by_shard[str(r["shard"])] = seen_by_shard.get(str(r["shard"]), 0) + 1
 
-        # (6) fetched/deferred per-shard counters ride as Observation
-        # metrics on the materializing actions — no extra jobs.
-        shard = shard_of_host(F.col("host"), n_shards)
-        obs_crawl = Observation(f"crawl-{wave}")
+        # (6) deferred per-shard counters ride as Observation metrics on
+        # the frontier's materializing action (crawl counters already
+        # resolved on the staged write above).
         obs_frontier = Observation(f"frontier-{wave}")
-        saved_obs = saved.observe(
-            obs_crawl, F.count(F.lit(1)).alias("n"), *_shard_metric_exprs(shard, n_shards)
-        )
         merged_obs = merged.observe(
             obs_frontier, F.count(F.lit(1)).alias("n"), *_shard_metric_exprs(shard, n_shards)
         )
@@ -452,20 +472,19 @@ class SparkCrawler:
 
         prev_mem = dict(self._mem)
         if durable:
-            fetched, deferred = self._commit_durable(
-                saved_obs, merged_obs, hosts_new, trace_add, add_rows, base_props,
-                obs_crawl, obs_frontier,
+            deferred = self._commit_durable(
+                crawl_dir, merged_obs, hosts_new, trace_add, add_rows, base_props,
+                obs_frontier,
             )
         else:
-            # fast path: materialize next-wave state in executor memory;
-            # buffer the appends until the next durable snapshot.
-            saved_m = saved_obs.localCheckpoint(eager=True)
-            fetched = obs_crawl.get
+            # fast path: next-wave state in executor memory (lean frames
+            # only — page bodies already sit in the staged parquet dir);
+            # appends buffered until the next durable snapshot.
             merged_m = merged_obs.localCheckpoint(eager=True)
             deferred = obs_frontier.get
             hosts_m = hosts_new.localCheckpoint(eager=True)
             trace_m = trace_add.localCheckpoint(eager=True)
-            self._buf_crawl.append(saved_m)
+            self._buf_crawl.append(crawl_dir)
             self._buf_trace.append(trace_m)
             self._buf_seen_rows.extend((r["url_hash"], r["url"]) for r in add_rows)
             self._mem = {"frontier": merged_m, "hosts": hosts_m}
@@ -487,7 +506,7 @@ class SparkCrawler:
         else:
             self._wave_props.append(wave)
 
-        for df in (hosts, classified, found, proc, saved, seen_add, fresh, merged):
+        for df in (hosts, classified, sel, proc, seen_add, fresh, merged):
             df.unpersist()
         for df in prev_mem.values():
             df.unpersist()
@@ -502,15 +521,14 @@ class SparkCrawler:
         }
 
     def _commit_durable(
-        self, saved_obs, merged_obs, hosts_new, trace_add, add_rows, base_props,
-        obs_crawl, obs_frontier,
+        self, crawl_dir, merged_obs, hosts_new, trace_add, add_rows, base_props,
+        obs_frontier,
     ):
-        """Write all five snapshots (flushing any fast-path buffers).
-        The crawl write goes first to materialize the shared caches; the
-        rest are independent DAGs submitted as concurrent Spark jobs."""
-        crawl_df = saved_obs
-        for buf in self._buf_crawl:
-            crawl_df = buf.unionByName(crawl_df)
+        """Commit all five snapshots (flushing any fast-path buffers).
+        Crawl data dirs were staged per wave — the commit just registers
+        them in the manifest (Iceberg-style: stage files, commit metadata).
+        Writes are sequential on purpose: concurrent jobs burst the
+        Python-UDF worker pool (measured 10-20s worker-init per task)."""
         trace_df = trace_add
         for buf in self._buf_trace:
             trace_df = buf.unionByName(trace_df)
@@ -519,23 +537,24 @@ class SparkCrawler:
             seen_rows, "url_hash string, url string"
         )
 
-        # writes are sequential on purpose: concurrent jobs here burst the
-        # Python-UDF worker pool (each extra concurrent stage forks a new
-        # set of workers — measured as 10-20s "time to initialize Python
-        # workers" per task), which costs far more than job overlap saves.
-        self.cat.write("crawl", crawl_df, mode="append", properties=base_props)
-        fetched = obs_crawl.get
+        self.cat.write(
+            "crawl",
+            None,
+            mode="append",
+            properties=base_props,
+            staged_dirs=self._buf_crawl + [crawl_dir],
+        )
         self._commit_frontier(merged_obs, base_props["wave"], base_props)
         deferred = obs_frontier.get
         self.cat.write("seen", seen_df, "append", base_props)
         self.cat.write("hosts", hosts_new, "overwrite", base_props)
         self.cat.write("trace", trace_df, "append", base_props)
 
-        for buf in self._buf_crawl + self._buf_trace:
+        for buf in self._buf_trace:
             buf.unpersist()
         self._buf_crawl, self._buf_trace, self._buf_seen_rows = [], [], []
         self._mem = {}
-        return fetched, deferred
+        return deferred
 
     def _seen_view(self) -> DataFrame:
         """Durable seen ledger plus fast-path buffered additions."""
@@ -555,10 +574,10 @@ class SparkCrawler:
             return
         props = {"wave": self.wave - 1, "flushed": True, "waves": self._wave_props}
         if self._buf_crawl:
-            crawl_df = self._buf_crawl[0]
-            for buf in self._buf_crawl[1:]:
-                crawl_df = crawl_df.unionByName(buf)
-            self.cat.write("crawl", crawl_df, mode="append", properties=props)
+            self.cat.write(
+                "crawl", None, mode="append", properties=props,
+                staged_dirs=list(self._buf_crawl),
+            )
         if self._buf_trace:
             trace_df = self._buf_trace[0]
             for buf in self._buf_trace[1:]:
@@ -577,7 +596,7 @@ class SparkCrawler:
             self._commit_frontier(self._mem["frontier"], self.wave - 1, props)
         if "hosts" in self._mem:
             self.cat.write("hosts", self._mem["hosts"], properties=props)
-        for df in self._buf_crawl + self._buf_trace + list(self._mem.values()):
+        for df in self._buf_trace + list(self._mem.values()):
             df.unpersist()
         self._buf_crawl, self._buf_trace, self._buf_seen_rows = [], [], []
         self._mem, self._wave_props = {}, []

@@ -382,6 +382,50 @@ ORDER BY dist, w LIMIT 3
 """
 
 
+def q_point_lookup(spark, sf_dir):
+    """point read (KVS get/getRow, §2.2; cached-page serve Q7): key-
+    predicate lookup that prunes to one row — pushdown visible in the
+    scan's PushedFilters."""
+    f = _synth_frontier(spark, sf_dir)
+    return f.where(F.col("url") == "http://h7.test/p/44.html").select(
+        "url", "host", "depth"
+    )
+
+
+SQL_POINT_LOOKUP = f"""
+SELECT url, host, depth FROM ({_SQL_FRONTIER})
+WHERE url = 'http://h7.test/p/44.html'
+"""
+
+
+def q_autocomplete(spark, sf_dir):
+    """prefix scan of the sorted dictionary, limit 8 (Q3,
+    SpellChecker.suggestPrefix:98-118)."""
+    docs = _t(spark, sf_dir, "documents")
+    dic = docs.select(
+        F.explode(F.array_distinct(textops.tokens_col(F.lower(F.col("text"))))).alias("w")
+    ).distinct()
+    return dic.where(F.col("w").startswith("s")).orderBy("w").limit(8)
+
+
+SQL_AUTOCOMPLETE = """
+WITH dic AS (
+  SELECT DISTINCT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+)
+SELECT w FROM dic WHERE w LIKE 's%' ORDER BY w LIMIT 8
+"""
+
+
+def q_sample(spark, sf_dir):
+    """seeded Bernoulli sample (§2.1 #8). Spark's sampler is
+    deterministic per seed but not SQL-reproducible → rows-only check
+    (the driver records count/schema only)."""
+    return _t(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42).select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
 # ---------------------------------------------------------------------------
 # indexing / scoring formulas (I3, T1) over documents
 # ---------------------------------------------------------------------------
@@ -457,6 +501,123 @@ SELECT doc_id, tok.w,
 FROM tok, n JOIN dfreq ON tok.w = dfreq.w
 WHERE round(ln((n_docs + 1.0) / (df + 1.0)), 6) > 0
   AND round((1.0 + ln(cnt)) * ln((n_docs + 1.0) / (df + 1.0)), 6) > 0
+"""
+
+
+def q_search_scoring(spark, sf_dir):
+    """the full query-time ranking pipeline (Q4–Q6) with a SQL oracle:
+    conjunctive AND over per-doc postings, score = 0.45·ln(1+pr) +
+    0.45·avg(tfidf of matched) + 0.07·titleHitFrac + 0.03·urlHitFrac
+    (ResultPageHandler.java:101-191), deterministic pseudo-pagerank,
+    title-dedupe window, top-10."""
+    words = ["data", "query"]
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(textops.tokens_col(F.lower(F.col("text"))))).alias("w"),
+    )
+    cand = (
+        tok.where(F.col("w").isin(words))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_m"))
+        .where(F.col("_m") == len(words))
+        .select("doc_id")
+    )
+    tfidf = q_tfidf_docs(spark, sf_dir)
+    tf_avg = (
+        tfidf.where(F.col("w").isin(words))
+        .join(cand, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.avg("tfidf").alias("_tfidf_avg"))
+    )
+    meta = docs.select(
+        "doc_id",
+        F.concat(F.lit("doc "), F.col("doc_id").cast("string"), F.lit(" "), F.col("source")).alias("title"),
+        F.concat(F.lit("http://h"), (F.col("doc_id") % 37).cast("string"), F.lit(".test/p/"), F.col("doc_id").cast("string"), F.lit(".html")).alias("url"),
+        (F.lit(1.0) / (F.col("doc_id") + 1.0)).alias("pr"),
+    )
+    scored = (
+        cand.join(meta, "doc_id")
+        .join(tf_avg, "doc_id", "left")
+        .withColumn(
+            "score",
+            F.round(
+                F.lit(0.45) * F.log(F.lit(1.0) + F.col("pr"))
+                + F.lit(0.45) * F.coalesce(F.col("_tfidf_avg"), F.lit(0.0))
+                + F.lit(0.07)
+                * (
+                    sum(
+                        F.when(F.lower(F.col("title")).contains(w), 1).otherwise(0)
+                        for w in words
+                    )
+                    / F.lit(float(len(words)))
+                )
+                + F.lit(0.03)
+                * (
+                    sum(
+                        F.when(F.lower(F.col("url")).contains(w), 1).otherwise(0)
+                        for w in words
+                    )
+                    / F.lit(float(len(words)))
+                ),
+                6,
+            ),
+        )
+    )
+    w_dedupe = Window.partitionBy(F.trim(F.lower(F.col("title")))).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_dedupe))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "title", "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+SQL_SEARCH_SCORING = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+  FROM documents
+),
+cand AS (
+  SELECT doc_id FROM tok WHERE w IN ('data', 'query')
+  GROUP BY doc_id HAVING count(*) = 2
+),
+tfidf AS ({SQL_TFIDF}),
+tf_avg AS (
+  SELECT t.doc_id, avg(tfidf) AS tfidf_avg FROM tfidf t
+  JOIN cand c ON t.doc_id = c.doc_id
+  WHERE t.w IN ('data', 'query') GROUP BY t.doc_id
+),
+meta AS (
+  SELECT doc_id,
+         'doc ' || doc_id || ' ' || source AS title,
+         'http://h' || (doc_id % 37) || '.test/p/' || doc_id || '.html' AS url,
+         1.0 / (doc_id + 1.0) AS pr
+  FROM documents
+),
+scored AS (
+  SELECT cand.doc_id, title,
+    round(0.45 * ln(1.0 + pr)
+        + 0.45 * coalesce(tfidf_avg, 0.0)
+        + 0.07 * ((CASE WHEN lower(title) LIKE '%data%' THEN 1 ELSE 0 END
+                 + CASE WHEN lower(title) LIKE '%query%' THEN 1 ELSE 0 END) / 2.0)
+        + 0.03 * ((CASE WHEN lower(url) LIKE '%data%' THEN 1 ELSE 0 END
+                 + CASE WHEN lower(url) LIKE '%query%' THEN 1 ELSE 0 END) / 2.0), 6)
+      AS score
+  FROM cand JOIN meta ON cand.doc_id = meta.doc_id
+  LEFT JOIN tf_avg ON cand.doc_id = tf_avg.doc_id
+),
+deduped AS (
+  SELECT doc_id, title, score,
+         row_number() OVER (PARTITION BY trim(lower(title)) ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, title, score FROM deduped WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
@@ -766,6 +927,9 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_frontier_antijoin": (q_frontier_antijoin, SQL_ANTIJOIN),
     "q_posting_and": (q_posting_and, SQL_POSTING_AND),
     "q_spellcheck": (q_spellcheck, SQL_SPELLCHECK),
+    "q_point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
+    "q_autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
+    "q_search_scoring": (q_search_scoring, SQL_SEARCH_SCORING),
     # indexing / scoring
     "q_index_words": (q_index_words, SQL_INDEX_WORDS),
     "q_tfidf_docs": (q_tfidf_docs, SQL_TFIDF),
@@ -781,6 +945,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "q_ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
     # rows-only
+    "q_sample": (q_sample, None),
     "q_pagerank_docs": (q_pagerank_docs, None),
     "q_media_features": (q_media_features, None),
 }
