@@ -26,6 +26,7 @@ from .textops import tokens_col
 
 __all__ = [
     "SHINGLE_N",
+    "MAX_SHINGLE_DF",
     "MINHASH_K",
     "MINHASH_BANDS",
     "SIMHASH_BITS",
@@ -39,6 +40,11 @@ __all__ = [
 ]
 
 SHINGLE_N = 3
+# hot-shingle document-frequency cap: a shingle present in more documents
+# than this is boilerplate (stopword-like), useless for dedup, and — being
+# the join key — would make the self-join quadratic in its df. Dropped
+# BEFORE the join on both the Spark and SQL-oracle sides.
+MAX_SHINGLE_DF = 1000
 MINHASH_K = 16
 MINHASH_BANDS = 4  # → 4 rows per band
 SIMHASH_BITS = 64
@@ -68,12 +74,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = SHINGLE_N
 ) -> DataFrame:
-    """→ (doc_id, sh): distinct word n-gram shingles per document."""
+    """→ (doc_id, sh): distinct word n-gram shingles per document.
+    Documents with fewer than ``n`` tokens yield no shingles (the
+    short-doc guard: an unguarded descending sequence would make
+    ``slice`` throw on i<0)."""
     toks = tokens_col(F.lower(F.col(text_col)))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return df.select(F.col(id_col), F.explode(F.array_distinct(grams)).alias("sh"))
 
 
@@ -82,10 +94,26 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """→ (doc_a, doc_b, inter, jaccard) for pairs sharing shingles with
-    Jaccard ≥ threshold. jaccard rounded to 6 decimals."""
+    Jaccard ≥ threshold. jaccard rounded to 6 decimals.
+
+    Hot shingles (document frequency > ``max_df``) are dropped before the
+    self-join AND before the per-doc sizes, so jaccard stays consistent:
+    it is exact Jaccard over the filtered shingle sets. The hot set is
+    tiny by construction (each survivor appears in > max_df docs, so
+    there are < N/max_df of them) → broadcast anti-join, no shuffle of
+    the shingle table."""
     sh = shingles(df, text_col, id_col)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df_sh"))
+            .where(F.col("df_sh") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col(id_col).alias("doc_a"), "sh")
     b = sh.select(F.col(id_col).alias("doc_b"), "sh")

@@ -33,7 +33,7 @@ MEDIA_SCHEMA = (
 )
 
 FEATURE_OUT_SCHEMA = (
-    "media_id long, mime string, n_bytes int, feature array<float>"
+    "media_id long, mime string, n_bytes int, feature array<double>"
 )
 
 
@@ -53,16 +53,19 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 
 def decode_media(payload: bytes, mime: str, fake: bool = False) -> np.ndarray:
     """Decode one media payload. REAL decode is not available in this
-    environment — the deterministic fake derives FEATURE_DIM floats from
-    a blake2b digest so downstream plumbing is testable."""
+    environment — the deterministic fake derives FEATURE_DIM doubles from
+    MD5 digests (feature[j] = big-endian uint32 j of md5(payload) ‖
+    md5(payload + b"1"), scaled to [0,1)) so downstream plumbing is
+    testable AND the values are reproducible by the SQL oracle."""
     if not fake:
         raise NotImplementedError(
             "media decoding requires image/audio codecs not present in this "
             "container; pass fake=True for the deterministic stand-in"
         )
-    digest = hashlib.blake2b(payload or b"", digest_size=FEATURE_DIM * 4).digest()
-    ints = np.frombuffer(digest, dtype=np.uint32).astype(np.float64)
-    return (ints / np.float64(2**32)).astype(np.float32)
+    payload = payload or b""
+    digest = hashlib.md5(payload).digest() + hashlib.md5(payload + b"1").digest()
+    ints = np.frombuffer(digest[: FEATURE_DIM * 4], dtype=">u4").astype(np.float64)
+    return ints / np.float64(2**32)
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:

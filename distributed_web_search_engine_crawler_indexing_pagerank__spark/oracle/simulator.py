@@ -34,15 +34,21 @@ Model (wave t = 0,1,2,…; virtual time T(t) = t·wave_seconds):
    then first-enqueue order (SURVEY.md §2.3 priority note).
 6. Process each selected url (all network behavior comes from the
    synthetic ``fetch_responses`` table; no live HTTP):
-   a. robots disallow for its path ⇒ terminal (seen, no fetch, no
-      last_access update — the reference never contacts the host).
-   b. otherwise the host's ``last_access`` ← T(t);
-      HEAD status 3xx ⇒ terminal; the ``Location`` is normalized against
-      the url (:249-259), ``shouldCrawl``-filtered, and enqueued with
-      ``depth+1`` and ``link_idx=-1``.
-      Other non-200 ⇒ terminal. ``Content-Language`` present and not
-      ``en*`` ⇒ terminal (:244-247). Content-type without ``text/html``
-      ⇒ terminal (:261-272).
+   a. robots disallow for its path ⇒ terminal (seen, no fetch) AND the
+      host's ``last_access`` ← T(t) — the reference calls
+      ``updateLastAccess`` inside the ``!robotsAllowed`` branch
+      (Crawler.java:202), so a disallowed pick still throttles the host.
+   b. missing response (= HEAD connect failure) ⇒ terminal with NO
+      ``last_access`` update — the reference's HEAD-exception path
+      returns before ``updateLastAccess`` (:206-225).
+   c. otherwise ``last_access`` ← T(t), then checks in the reference's
+      exact order (:243-272): ``Content-Language`` present (non-null,
+      INCLUDING empty string) and not ``en*`` ⇒ terminal — checked
+      BEFORE redirect/status, so a non-English 3xx never enqueues its
+      Location. HEAD 3xx ⇒ terminal; the ``Location`` is normalized
+      against the url (:249-259), ``shouldCrawl``-filtered, and enqueued
+      with ``depth+1`` and ``link_idx=-1``. Other non-200 ⇒ terminal.
+      Content-type without ``text/html`` ⇒ terminal.
    c. 200+html+en ⇒ GET body capped at ``byte_cap`` (:34,312-329), page
       saved to the crawl table, host ``fetched_count`` +=1; outlinks =
       the C10–C13 pipeline in extraction order with page-local
@@ -238,11 +244,18 @@ class OracleCrawler:
         enqueue: list[tuple[Priority, str]],
     ) -> str:
         if not self._allows(st, e.url):
+            st.last_access = t  # reference: updateLastAccess inside !robotsAllowed
             return "robots_disallowed"
-        st.last_access = t
         resp = self.responses.get(e.url)
         if resp is None:
-            return "unfetchable"
+            return "unfetchable"  # HEAD failure: no last_access update
+        st.last_access = t
+        # Content-Language first (Crawler.java:243-247 precedes the 3xx /
+        # non-200 checks); `is not None` matches Java's null check — an
+        # EMPTY string is non-English there too.
+        clang = resp.get("content_language")
+        if clang is not None and not clang.lower().startswith("en"):
+            return "non_english"
         status = int(resp["head_status"])
         if status in (301, 302, 303, 307, 308):
             loc = resp.get("location")
@@ -255,9 +268,6 @@ class OracleCrawler:
             return "redirect"
         if status != 200:
             return f"status_{status}"
-        clang = resp.get("content_language")
-        if clang and not clang.lower().startswith("en"):
-            return "non_english"
         ctype = resp.get("content_type") or ""
         if "text/html" not in ctype.lower():
             return "non_html"

@@ -303,13 +303,17 @@ class SparkCrawler:
         outcome = (
             F.when(~F.col("_allowed"), F.lit("robots_disallowed"))
             .when(F.col("head_status").isNull(), F.lit("unfetchable"))
-            .when(F.col("head_status").isin(*_REDIRECT_CODES), F.lit("redirect"))
-            .when(F.col("head_status") != 200, F.concat(F.lit("status_"), F.col("head_status")))
+            # Content-Language precedes the 3xx/non-200 checks
+            # (Crawler.java:243-247): a non-English redirect never
+            # enqueues its Location. isNotNull matches Java's null check —
+            # an empty-string header is non-English there too.
             .when(
                 F.col("content_language").isNotNull()
                 & ~F.lower(F.col("content_language")).startswith("en"),
                 F.lit("non_english"),
             )
+            .when(F.col("head_status").isin(*_REDIRECT_CODES), F.lit("redirect"))
+            .when(F.col("head_status") != 200, F.concat(F.lit("status_"), F.col("head_status")))
             .when(
                 ~F.contains(
                     F.lower(F.coalesce(F.col("content_type"), F.lit(""))), F.lit("text/html")
@@ -389,7 +393,11 @@ class SparkCrawler:
 
         # (6-state) hosts update first — spec step 7's cap check uses
         # end-of-wave counts. touched/saves are ≤1 row/host → broadcast.
-        touched = proc.where(F.col("outcome") != "robots_disallowed").select("host").distinct()
+        # robots_disallowed DOES touch last_access (updateLastAccess runs
+        # inside the !robotsAllowed branch, Crawler.java:202); only the
+        # HEAD-failure path returns before it (:206-225) ⇒ exclude
+        # unfetchable alone.
+        touched = proc.where(F.col("outcome") != "unfetchable").select("host").distinct()
         saves_per_host = fetched_keys.groupBy("host").agg(F.count("*").alias("_saves"))
         hosts_updated = (
             hosts.join(F.broadcast(touched.withColumn("_touch", F.lit(True))), "host", "left")

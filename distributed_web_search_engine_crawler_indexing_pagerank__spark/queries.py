@@ -15,8 +15,9 @@ Query groups (↔ SURVEY.md §2 rows):
 - indexing/scoring: reference tokenizer (I3), TF-IDF formula (T1)
 - training-data ops: token counts, language ID, quality, fingerprint,
   exact/Jaccard/MinHash-LSH/SimHash dedup, cosine top-k, IVF ANN
-- rows-only (no SQL equivalent): iterative PageRank, multimodal feature
-  extraction, end-to-end crawl wave (checked by pytest golden instead)
+- formerly-hard cases with exact oracles: deterministic hash-threshold
+  sampling, fixed-iteration PageRank (unrolled CTE chain), md5-derived
+  multimodal features; the end-to-end crawl wave stays pytest-golden
 
 Hashing note: cross-engine identity uses MD5 (DuckDB 1.0 has no sha1);
 the crawl pipeline itself uses the reference's SHA-1 (javaport.hasher).
@@ -93,17 +94,26 @@ SQL_DISTINCT = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
 
 def q_groupby_collect(spark, sf_dir):
     """groupBy + bounded sorted collect_list (§2.1 #10; the indexer's
-    df-capped posting pattern, §2.2 appendCapped)."""
+    df-capped posting pattern, §2.2 appendCapped). The capped list is
+    emitted as a comma-joined string so the cross-engine value hash is
+    well-defined (array cells are unhashable in the driver's
+    canonicalizer)."""
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_custkey").agg(
-        F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5).alias("order_ids"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("o_orderkey")), 1, 5),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("order_ids"),
         F.count("*").cast("long").alias("n_orders"),
     )
 
 
 SQL_GROUPBY_COLLECT = """
 SELECT o_custkey,
-       (list_sort(list(o_orderkey)))[1:5] AS order_ids,
+       array_to_string((list_sort(list(o_orderkey)))[1:5], ',') AS order_ids,
        count(*) AS n_orders
 FROM orders GROUP BY o_custkey
 """
@@ -417,13 +427,27 @@ SELECT w FROM dic WHERE w LIKE 's%' ORDER BY w LIMIT 8
 """
 
 
+SAMPLE_THRESHOLD = "1a"  # md5-hex prefix < 0x1a/0x100 ≈ 10.2% keep rate
+
+
 def q_sample(spark, sf_dir):
-    """seeded Bernoulli sample (§2.1 #8). Spark's sampler is
-    deterministic per seed but not SQL-reproducible → rows-only check
-    (the driver records count/schema only)."""
-    return _t(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42).select(
-        "l_orderkey", "l_linenumber"
+    """deterministic Bernoulli sample (§2.1 #8): keep a row iff the md5
+    of its key is below a fixed hex threshold — the distributed-sampling
+    idiom that is reproducible across engines AND across partitionings
+    (unlike rng-per-partition samplers, whose output depends on the
+    split layout — exactly what you cannot afford at 100 TB)."""
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"), F.lit("-"), F.col("l_linenumber").cast("string")
     )
+    return li.where(F.md5(key) < SAMPLE_THRESHOLD).select("l_orderkey", "l_linenumber")
+
+
+SQL_SAMPLE = f"""
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR))
+      < '{SAMPLE_THRESHOLD}'
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -727,7 +751,9 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 SQL_NGRAM_JACCARD = f"""
-WITH sh AS ({_SQL_SHINGLES}),
+WITH sh0 AS ({_SQL_SHINGLES}),
+hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > {dedup.MAX_SHINGLE_DF}),
+sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -867,12 +893,17 @@ SELECT vec_id, neighbor_id, cos, rank FROM (
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (no SQL equivalent; pytest goldens cover semantics)
+# iterative / UDF-backed queries with generated exact oracles
 # ---------------------------------------------------------------------------
 
+PAGERANK_Q_ITERS = 8
+
+
 def q_pagerank_docs(spark, sf_dir):
-    """iterative PageRank over a synthesized doc graph (P2–P6). No SQL
-    oracle (iterative); closed-form golden in tests/test_jobs.py."""
+    """iterative PageRank over a synthesized doc graph (P2–P6), fixed
+    iteration count (eps=0 disables early exit) so the unrolled SQL CTE
+    oracle computes the identical fixpoint prefix. The closed-form golden
+    in tests/test_jobs.py covers the convergence path."""
     from .plans.pagerank import pagerank
 
     d = _t(spark, sf_dir, "documents")
@@ -884,13 +915,66 @@ def q_pagerank_docs(spark, sf_dir):
             ((F.col("doc_id") * 7 + 2) % n).cast("string"),
         ).alias("dests"),
     )
-    ranks = pagerank(graph, max_iter=8)
+    ranks = pagerank(graph, eps=0.0, max_iter=PAGERANK_Q_ITERS)
     return ranks.select("url", F.round("rank", 8).alias("rank"))
+
+
+def _sql_pagerank_docs() -> str:
+    """Unrolled fixed-iteration PageRank CTE chain mirroring
+    plans.pagerank.pagerank: same graph synthesis, same damping constants
+    computed as Python doubles and injected via repr, no dangling mass
+    (every doc_id is a source with ≥1 out-edge)."""
+    from .plans.pagerank import DAMPING
+
+    # string→double casts so DuckDB strtod-parses the exact Python double
+    # (a bare literal would be DECIMAL, whose double conversion can differ
+    # by an ulp for >2^53 mantissas)
+    base = f"'{(1.0 - DAMPING)!r}'::DOUBLE"
+    d_lit = f"'{DAMPING!r}'::DOUBLE"
+    iters = []
+    for k in range(1, PAGERANK_Q_ITERS + 1):
+        prev = f"r{k - 1}"
+        iters.append(f"""r{k} AS (
+  SELECT v.url,
+         {base} / nn.n
+         + {d_lit} * coalesce(c.inbound, CAST(0 AS DOUBLE)) AS rank
+  FROM vertices v CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS url, sum(r.rank / o.outdeg) AS inbound
+    FROM edges e JOIN outdeg o ON e.src = o.src
+    JOIN {prev} r ON r.url = e.src
+    GROUP BY e.dst
+  ) c ON v.url = c.url
+)""")
+    chain = ",\n".join(iters)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+g AS (
+  SELECT CAST(doc_id AS VARCHAR) AS src,
+         CAST((doc_id * 3 + 1) % (SELECT n FROM nn) AS VARCHAR) AS d1,
+         CAST((doc_id * 7 + 2) % (SELECT n FROM nn) AS VARCHAR) AS d2
+  FROM documents
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, d1 AS dst FROM g UNION ALL SELECT src, d2 AS dst FROM g
+  )
+),
+vertices AS (SELECT DISTINCT src AS url FROM g),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT url, CAST(1 AS DOUBLE) / nn.n AS rank FROM vertices CROSS JOIN nn),
+{chain}
+SELECT url, round(rank, 8) AS rank FROM r{PAGERANK_Q_ITERS}
+"""
+
+
+SQL_PAGERANK_DOCS = _sql_pagerank_docs()
 
 
 def q_media_features(spark, sf_dir):
     """multimodal plumbing: binary payloads → mapInPandas fake decode →
-    fixed-dim features. No SQL oracle (stubbed codec)."""
+    fixed-dim features. The fake decode is md5-derived, so the SQL oracle
+    reproduces it digit-for-digit (real codecs stay a documented stub)."""
     from .operators.multimodal import extract_features, media_from_documents
 
     media = media_from_documents(_t(spark, sf_dir, "documents"))
@@ -903,6 +987,38 @@ def q_media_features(spark, sf_dir):
             "feature_sum"
         ),
     )
+
+
+def _sql_media_features() -> str:
+    """Mirror of multimodal.decode_media(fake=True): feature[j] =
+    big-endian uint32 j of md5(payload) ‖ md5(payload+b'1'), / 2^32;
+    feature_sum folds left in index order (same FP addition order as
+    Spark's F.aggregate)."""
+    from .operators.multimodal import FEATURE_DIM
+
+    terms = []
+    for j in range(FEATURE_DIM):
+        h = "h1" if j < 4 else "h2"
+        off = (j % 4) * 8 + 1
+        terms.append(
+            f"(('0x' || substr({h}, {off}, 8))::UBIGINT / CAST(4294967296 AS DOUBLE))"
+        )
+    sum_expr = " + ".join(terms)
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS mime,
+         octet_length(encode(text)) AS n_bytes,
+         md5(text) AS h1, md5(text || '1') AS h2
+  FROM documents
+)
+SELECT media_id, mime, n_bytes, round({sum_expr}, 6) AS feature_sum FROM m
+"""
+
+
+SQL_MEDIA_FEATURES = _sql_media_features()
 
 
 # ---------------------------------------------------------------------------
@@ -944,10 +1060,10 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     # similarity
     "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "q_ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
-    # rows-only
-    "q_sample": (q_sample, None),
-    "q_pagerank_docs": (q_pagerank_docs, None),
-    "q_media_features": (q_media_features, None),
+    # formerly rows-only — now with exact cross-engine oracles
+    "q_sample": (q_sample, SQL_SAMPLE),
+    "q_pagerank_docs": (q_pagerank_docs, SQL_PAGERANK_DOCS),
+    "q_media_features": (q_media_features, SQL_MEDIA_FEATURES),
 }
 
 

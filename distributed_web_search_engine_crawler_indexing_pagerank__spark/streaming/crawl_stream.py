@@ -61,11 +61,25 @@ def seed_ingest_stream(
         fresh = (
             seeds.join(seen.select("url_hash"), "url_hash", "left_anti")
             .join(frontier.select("url_hash"), "url_hash", "left_anti")
+            .localCheckpoint(eager=True)  # consumed by frontier AND hosts
         )
         merged = frontier.unionByName(fresh.select(*frontier.columns))
         crawler.cat.write(
             "frontier", merged, properties={"stream_batch": int(batch_id)}
         )
+        # Hydrate host state for fresh seed hosts: SparkCrawler.step()
+        # starts with an inner frontier⨝hosts join (its maintained
+        # invariant is "hosts covers every frontier host"), so seeds on
+        # unknown hosts would otherwise be silently dropped on the next
+        # wave.
+        hosts = crawler.cat.read(crawler.spark, "hosts")
+        new_hosts = crawler._new_host_rows(fresh.select("host"), hosts.select("host"))
+        crawler.cat.write(
+            "hosts",
+            hosts.unionByName(new_hosts),
+            properties={"stream_batch": int(batch_id)},
+        )
+        fresh.unpersist()
 
     return (
         raw.writeStream.foreachBatch(ingest)

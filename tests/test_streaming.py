@@ -12,6 +12,10 @@ from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog impo
 from distributed_web_search_engine_crawler_indexing_pagerank__spark.oracle.simulator import (
     CrawlConfig,
 )
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.javaport.urlnorm import (
+    extract_host_key,
+    normalize_seed_url,
+)
 from distributed_web_search_engine_crawler_indexing_pagerank__spark.plans.crawl import (
     SparkCrawler,
 )
@@ -53,6 +57,16 @@ def test_seed_ingest_stream_feeds_frontier(spark, tmp_path, crawler):
     q2 = seed_ingest_stream(spark, str(seed_dir), crawler, str(tmp_path / "ckpt"))
     q2.awaitTermination(120)
     assert crawler.cat.read(spark, "frontier").count() == before + len(urls)
+    # host state was hydrated for the fresh hosts (step()'s invariant)
+    hosts = {r["host"] for r in crawler.cat.read(spark, "hosts").collect()}
+    # ingested seeds are actually scheduled — wave 0 picks every host's
+    # depth-0 seed, so all ingested URLs must appear in the trace
+    crawler.run(max_waves=1)
+    traced = {r["url"] for r in crawler.cat.read(spark, "trace").collect()}
+    for u in urls:
+        norm = normalize_seed_url(u)
+        assert extract_host_key(norm) in hosts
+        assert norm in traced, f"ingested seed {norm} never scheduled"
 
 
 def test_trace_window_stream(spark, tmp_path, crawler):
