@@ -42,7 +42,11 @@ join handles the hot-host link fan-in).
 
 from __future__ import annotations
 
+import time
 from dataclasses import asdict
+
+import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 from pyspark.sql.types import (
@@ -55,14 +59,12 @@ from pyspark.sql.types import (
 )
 
 from ..catalog import Catalog
+from ..functions.exprs import host_key_col, ref_hash_col, url_path_col
 from ..functions.udfs import (
     crawl_delay_udf,
-    host_key_udf,
     make_robots_allows_udf,
     normalize_redirect_udf,
     outlinks_udf,
-    url_identity_udf,
-    url_path_udf,
 )
 from ..javaport.hasher import ref_hash
 from ..javaport.urlnorm import extract_host_key, normalize_seed_url
@@ -131,8 +133,19 @@ class SparkCrawler:
         self._mem: dict[str, DataFrame] = {}
         self._buf_crawl: list[str] = []  # staged crawl data dirs
         self._buf_trace: list[DataFrame] = []
-        self._buf_seen_rows: list[tuple[str, str]] = []
+        self._buf_seen_pdfs: list[pd.DataFrame] = []  # (url_hash, url) frames
         self._wave_props: list[dict] = []
+        # wall-clock per named step() section, accumulated across waves —
+        # the profiler's map of where the per-wave fixed cost lives.
+        self.section_secs: dict[str, float] = {}
+        self._t_last = 0.0
+
+    def _tick(self, section: str) -> None:
+        now = time.time()
+        self.section_secs[section] = self.section_secs.get(section, 0.0) + (
+            now - self._t_last
+        )
+        self._t_last = now
 
     # -- setup ---------------------------------------------------------------
     def init_from_seeds(self, seeds: list[str]) -> None:
@@ -184,8 +197,11 @@ class SparkCrawler:
             raise RuntimeError("no frontier snapshot to resume from")
         self.wave = int(snap.properties["wave"]) + 1
         seen = self.cat.read(self.spark, "seen")
-        seen_h = seen.withColumn("host", host_key_udf(F.col("url")))
+        seen_h = seen.withColumn("host", host_key_col(F.col("url")))
         self.bloom.build_from_seen(seen_h)
+        # size for what the ledger already holds (rebuilds at the grown
+        # size only when the default was outgrown)
+        self.bloom.ensure_capacity(seen_h)
 
     def _commit_frontier(self, frontier: DataFrame, wave: int, counters: dict | None = None):
         # No repartition-by-host here: plain parquet carries no
@@ -240,6 +256,7 @@ class SparkCrawler:
         """
         spark, cfg, wave = self.spark, self.cfg, self.wave
         t = wave * cfg.wave_seconds
+        self._t_last = time.time()
 
         frontier = self._mem.get("frontier") or self.cat.read(spark, "frontier")
         hosts_from_mem = "hosts" in self._mem
@@ -247,6 +264,7 @@ class SparkCrawler:
         if not hosts_from_mem:
             hosts = hosts.persist()
         seen = self._seen_view()
+        self._tick("read_state")
 
         fcols = [f.name for f in FRONTIER_SCHEMA.fields]
 
@@ -263,6 +281,7 @@ class SparkCrawler:
         # eager: selected/remaining/retired scan this 3× in one job — a
         # lazy cache lets the scans race and recompute the window.
         classified = f.withColumn("_rn", F.row_number().over(w)).localCheckpoint(eager=True)
+        self._tick("classify_ckpt")
         retired = classified.where(capped_cond).select(*fcols)
         selected = classified.where(
             ~capped_cond & eligible_cond & (F.col("_rn") == 1)
@@ -282,15 +301,18 @@ class SparkCrawler:
         # (url, page) columns back from that staged file.
         sel = (
             selected.join(hosts.select("host", "robots_status", "robots_txt"), "host")
-            .withColumn("_path", url_path_udf(F.col("url")))
             .withColumn(
                 "_allowed",
                 self.robots_allows_udf(
-                    F.col("robots_txt"), F.col("robots_status"), F.col("_path")
+                    F.col("robots_txt"), F.col("robots_status"), url_path_col(F.col("url"))
                 ),
             )
+            # drop robots_txt (KBs/row) BEFORE this frame is broadcast —
+            # the downstream joins only need the frontier cols + the gate.
+            .select(*fcols, "_allowed")
             .localCheckpoint(eager=True)  # lean; feeds three broadcast builds
         )
+        self._tick("sel_ckpt")
         resp_meta_cols = ["head_status", "location", "content_type", "content_language"]
         resp_meta = self.responses.select("url", *resp_meta_cols)  # body pruned
         found_meta = resp_meta.join(F.broadcast(sel), "url")
@@ -325,6 +347,7 @@ class SparkCrawler:
         # eager (lean — no body column): redirects/touched/trace/saved-keys
         # all scan proc; the race-free materialization is tiny.
         proc = proc.withColumn("outcome", outcome).localCheckpoint(eager=True)
+        self._tick("proc_ckpt")
 
         # (5a) saved pages: the ONE body-bearing pass — responses scan ⨝
         # broadcast(fetched keys) → byte-capped GET body
@@ -357,6 +380,7 @@ class SparkCrawler:
         )
         crawl_dir = self.cat.stage_data("crawl", saved_obs)
         fetched = obs_crawl.get
+        self._tick("crawl_write")
         saved_rb = spark.read.parquet(crawl_dir)  # read-back, columns pruned
 
         # (5b) link discovery: page outlinks + redirect targets.
@@ -379,11 +403,10 @@ class SparkCrawler:
         )
         fresh = (
             links.unionByName(redirects)
-            .withColumn("_id", url_identity_udf(F.col("child_url")))
             .select(
                 F.col("child_url").alias("url"),
-                F.col("_id.url_hash").alias("url_hash"),
-                F.col("_id.host").alias("host"),
+                ref_hash_col(F.col("child_url")).alias("url_hash"),
+                host_key_col(F.col("child_url")).alias("host"),
                 (F.col("_pdepth") + 1).cast(IntegerType()).alias("depth"),
                 F.lit(wave).cast(IntegerType()).alias("disc_wave"),
                 "parent_hash",
@@ -431,7 +454,20 @@ class SparkCrawler:
         ).select("host")
         fresh = fresh.join(F.broadcast(over_cap), "host", "left_anti")
         fresh = fresh.join(F.broadcast(seen_add.select("url_hash")), "url_hash", "left_anti")
+        # Materialize BEFORE the Bloom probe: keeps every stage at ≤1
+        # Python runner. A stage chaining two Arrow runners per task
+        # demands 2×cores simultaneous workers — measured to blow the
+        # worker pool (spawn storm, ~1-2 s pandas import each, serialized
+        # by CPU contention) at high core counts. With the split, the
+        # outlinks stage and the probe stage each reuse the same ≤cores
+        # warm workers.
+        fresh = fresh.localCheckpoint(eager=True)
+        self._tick("links_extract")
+        # keep ≥10 bits/key before probing: grows shards (power-of-two) and
+        # rebuilds exactly from the ledger when the filter would saturate.
+        self.bloom.ensure_capacity(seen.withColumn("host", host_key_col(F.col("url"))))
         fresh = self.bloom.filter_unseen(spark, fresh, seen).persist()
+        self._tick("links_bloom")
         # (flagged inside filter_unseen is already materialized; fresh is a
         # cheap projection over it + the maybe anti-join)
 
@@ -458,14 +494,20 @@ class SparkCrawler:
 
         # seen collect — the one driver round-trip: feeds the Bloom shards
         # AND the seen counters (≤1 row/host, bounded by politeness).
+        # Arrow-batched (toPandas), then numpy-vectorized bit setting — no
+        # per-row Python on the driver.
         n_shards = self.bloom.n_shards
-        add_rows = seen_add.select(
+        add_pdf = seen_add.select(
             "url_hash", "url", shard_of_host(F.col("host"), n_shards).alias("shard")
-        ).collect()
-        self.bloom.add((r["url_hash"], r["shard"]) for r in add_rows)
-        seen_by_shard: dict[str, int] = {}
-        for r in add_rows:
-            seen_by_shard[str(r["shard"])] = seen_by_shard.get(str(r["shard"]), 0) + 1
+        ).toPandas()
+        self._tick("seen_collect")
+        self.bloom.add_arrays(
+            add_pdf["url_hash"].to_numpy(), add_pdf["shard"].to_numpy().astype(np.int64)
+        )
+        self._tick("bloom_add")
+        seen_by_shard = {
+            str(k): int(v) for k, v in add_pdf["shard"].value_counts().items()
+        }
 
         # (6) deferred per-shard counters ride as Observation metrics on
         # the frontier's materializing action (crawl counters already
@@ -481,7 +523,7 @@ class SparkCrawler:
         prev_mem = dict(self._mem)
         if durable:
             deferred = self._commit_durable(
-                crawl_dir, merged_obs, hosts_new, trace_add, add_rows, base_props,
+                crawl_dir, merged_obs, hosts_new, trace_add, add_pdf, base_props,
                 obs_frontier,
             )
         else:
@@ -494,8 +536,10 @@ class SparkCrawler:
             trace_m = trace_add.localCheckpoint(eager=True)
             self._buf_crawl.append(crawl_dir)
             self._buf_trace.append(trace_m)
-            self._buf_seen_rows.extend((r["url_hash"], r["url"]) for r in add_rows)
+            self._buf_seen_pdfs.append(add_pdf[["url_hash", "url"]])
             self._mem = {"frontier": merged_m, "hosts": hosts_m}
+
+        self._tick("commit")
 
         counters = {
             "seen_by_shard": seen_by_shard,
@@ -518,18 +562,19 @@ class SparkCrawler:
             df.unpersist()
         for df in prev_mem.values():
             df.unpersist()
+        self._tick("unpersist_props")
 
         self.wave += 1
         return {
             "wave": wave,
-            "selected": len(add_rows),
+            "selected": len(add_pdf),
             "saved": int(fetched["n"]),
             "frontier": int(deferred["n"]),
             **counters,
         }
 
     def _commit_durable(
-        self, crawl_dir, merged_obs, hosts_new, trace_add, add_rows, base_props,
+        self, crawl_dir, merged_obs, hosts_new, trace_add, add_pdf, base_props,
         obs_frontier,
     ):
         """Commit all five snapshots (flushing any fast-path buffers).
@@ -540,9 +585,8 @@ class SparkCrawler:
         trace_df = trace_add
         for buf in self._buf_trace:
             trace_df = buf.unionByName(trace_df)
-        seen_rows = self._buf_seen_rows + [(r["url_hash"], r["url"]) for r in add_rows]
-        seen_df = self.spark.createDataFrame(
-            seen_rows, "url_hash string, url string"
+        seen_df = self._seen_pdf_to_df(
+            self._buf_seen_pdfs + [add_pdf[["url_hash", "url"]]]
         )
 
         self.cat.write(
@@ -560,25 +604,31 @@ class SparkCrawler:
 
         for buf in self._buf_trace:
             buf.unpersist()
-        self._buf_crawl, self._buf_trace, self._buf_seen_rows = [], [], []
+        self._buf_crawl, self._buf_trace, self._buf_seen_pdfs = [], [], []
         self._mem = {}
         return deferred
+
+    def _seen_pdf_to_df(self, pdfs: list[pd.DataFrame]) -> DataFrame:
+        """Buffered (url_hash, url) pandas frames → one Spark DataFrame
+        (Arrow path — no per-row driver serialization)."""
+        pdf = (
+            pd.concat(pdfs, ignore_index=True)
+            if pdfs
+            else pd.DataFrame({"url_hash": [], "url": []})
+        )
+        return self.spark.createDataFrame(pdf, "url_hash string, url string")
 
     def _seen_view(self) -> DataFrame:
         """Durable seen ledger plus fast-path buffered additions."""
         seen = self.cat.read(self.spark, "seen")
-        if self._buf_seen_rows:
-            seen = seen.unionByName(
-                self.spark.createDataFrame(
-                    self._buf_seen_rows, "url_hash string, url string"
-                )
-            )
+        if self._buf_seen_pdfs:
+            seen = seen.unionByName(self._seen_pdf_to_df(self._buf_seen_pdfs))
         return seen
 
     def flush(self) -> None:
         """Force a durable snapshot of any fast-path in-memory state +
         buffered appends (no-op when already durable)."""
-        if not self._mem and not self._buf_crawl and not self._buf_seen_rows:
+        if not self._mem and not self._buf_crawl and not self._buf_seen_pdfs:
             return
         props = {"wave": self.wave - 1, "flushed": True, "waves": self._wave_props}
         if self._buf_crawl:
@@ -591,12 +641,10 @@ class SparkCrawler:
             for buf in self._buf_trace[1:]:
                 trace_df = trace_df.unionByName(buf)
             self.cat.write("trace", trace_df, mode="append", properties=props)
-        if self._buf_seen_rows:
+        if self._buf_seen_pdfs:
             self.cat.write(
                 "seen",
-                self.spark.createDataFrame(
-                    self._buf_seen_rows, "url_hash string, url string"
-                ),
+                self._seen_pdf_to_df(self._buf_seen_pdfs),
                 mode="append",
                 properties=props,
             )
@@ -606,7 +654,7 @@ class SparkCrawler:
             self.cat.write("hosts", self._mem["hosts"], properties=props)
         for df in self._buf_trace + list(self._mem.values()):
             df.unpersist()
-        self._buf_crawl, self._buf_trace, self._buf_seen_rows = [], [], []
+        self._buf_crawl, self._buf_trace, self._buf_seen_pdfs = [], [], []
         self._mem, self._wave_props = {}, []
 
     # -- driver loop -------------------------------------------------------------
