@@ -59,12 +59,18 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # workload family matches BENCH/BASELINE.md: every host seeded (each
+    # wave schedules ~n_hosts URLs), heft'd Common-Crawl-ish page sizes,
+    # fast-mode checkpointing — the steady-state regime, not the
+    # tiny-frontier fixed-cost regime.
     crawl = run_crawl_bench(
         spark,
-        n_hosts=int(os.environ.get("BENCH_CRAWL_HOSTS", "2000")),
-        pages_base=int(os.environ.get("BENCH_CRAWL_PAGES", "12")),
-        n_seeds=int(os.environ.get("BENCH_CRAWL_SEEDS", "400")),
-        waves=int(os.environ.get("BENCH_CRAWL_WAVES", "4")),
+        n_hosts=int(os.environ.get("BENCH_CRAWL_HOSTS", "20000")),
+        pages_base=int(os.environ.get("BENCH_CRAWL_PAGES", "3")),
+        n_seeds=int(os.environ.get("BENCH_CRAWL_SEEDS", "20000")),
+        waves=int(os.environ.get("BENCH_CRAWL_WAVES", "3")),
+        heft=int(os.environ.get("BENCH_CRAWL_HEFT", "60")),
+        checkpoint_interval=int(os.environ.get("BENCH_CRAWL_CKPT", "4")),
         partitions=max(8, int(cpus) if str(cpus).isdigit() else 32),
     )
     timings["crawl_replay"] = crawl["crawl_sec"]

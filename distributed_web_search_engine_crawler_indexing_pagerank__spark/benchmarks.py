@@ -74,22 +74,30 @@ def run_crawl_bench(
     partitions: int = 32,
     heft: int = 1,
     checkpoint_interval: int = 1,
+    web_dir: str | None = None,
 ) -> dict:
     """Run a fetch-free frontier replay; returns timing + throughput.
 
     ``heft`` scales synthetic page size/link counts toward realistic web
     pages (see webgen.page_html); ``checkpoint_interval`` selects the
-    every-K-waves durable-snapshot cadence."""
+    every-K-waves durable-snapshot cadence. ``web_dir`` points at a
+    reusable pre-generated synthetic web (webgen is deterministic per
+    seed, so sharing it across parallelism levels changes nothing about
+    the measured crawl — it only skips regeneration)."""
     tmp = workdir or tempfile.mkdtemp(prefix="crawlbench-")
     try:
         gen_t0 = time.time()
-        pages, responses, robots = webgen.gen_web_spark(
-            spark, seed, n_hosts, pages_base, partitions=partitions, heft=heft
-        )
-        resp_path = f"{tmp}/responses.parquet"
-        robots_path = f"{tmp}/robots.parquet"
-        responses.write.mode("overwrite").parquet(resp_path)
-        robots.write.mode("overwrite").parquet(robots_path)
+        wdir = web_dir or tmp
+        resp_path = f"{wdir}/responses.parquet"
+        robots_path = f"{wdir}/robots.parquet"
+        import os as _os
+
+        if not (_os.path.exists(resp_path) and _os.path.exists(robots_path)):
+            pages, responses, robots = webgen.gen_web_spark(
+                spark, seed, n_hosts, pages_base, partitions=partitions, heft=heft
+            )
+            responses.write.mode("overwrite").parquet(resp_path)
+            robots.write.mode("overwrite").parquet(robots_path)
         gen_sec = time.time() - gen_t0
 
         cfg = CrawlConfig(

@@ -36,7 +36,14 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["Catalog", "Snapshot"]
+__all__ = ["Catalog", "Snapshot", "CommitConflict"]
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed this snapshot id first (optimistic
+    concurrency, the catalog's CAS — reference analogue: the KVS
+    conditional PUT, ``src/kvs/Worker.java:318-331``). The loser should
+    reload the current snapshot, rebase its update, and retry."""
 
 
 @dataclass
@@ -140,6 +147,20 @@ class Catalog:
         manifest = self._load_manifest(name)
         parent = self.current_snapshot(name)
         snap_id = (max((s["snapshot_id"] for s in manifest["snapshots"]), default=0)) + 1
+        # CAS guard: exactly one writer may claim snap_id — an O_EXCL
+        # marker makes the claim atomic, so a concurrent writer that
+        # loaded the same parent fails HERE (before writing data under a
+        # colliding dir name) instead of silently overwriting the other's
+        # snapshot at manifest-replace time.
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        guard = os.path.join(self._table_dir(name), f".commit-{snap_id:06d}")
+        try:
+            os.close(os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            raise CommitConflict(
+                f"table {name!r}: snapshot {snap_id} already claimed by a "
+                "concurrent writer — reload and retry"
+            ) from None
         dirs = list(staged_dirs or [])
         if df is not None:
             data_dir = os.path.join(self._table_dir(name), f"data-{snap_id:06d}")
@@ -216,7 +237,16 @@ class Catalog:
             keep.update(snap.data_dirs)
             snap = by_id.get(snap.parent_id) if snap.parent_id else None
         tdir = self._table_dir(name)
+        max_committed = max((s.snapshot_id for s in self.snapshots(name)), default=0)
         for entry in os.listdir(tdir):
             full = os.path.join(tdir, entry)
             if entry.startswith("data-") and full not in keep:
                 shutil.rmtree(full, ignore_errors=True)
+            elif entry.startswith(".commit-"):
+                # consumed CAS guards (ids are never reused once in the
+                # manifest); an in-flight claim (> max committed) survives
+                try:
+                    if int(entry.rsplit("-", 1)[1]) <= max_committed:
+                        os.unlink(full)
+                except (ValueError, OSError):
+                    pass

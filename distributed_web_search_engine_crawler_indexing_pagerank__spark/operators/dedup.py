@@ -37,6 +37,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "embedding_near_dups",
 ]
 
 SHINGLE_N = 3
@@ -279,4 +280,35 @@ def simhash_pairs(
         .withColumn("hamming", hamming)
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- embedding-cosine near-duplicates --------------------------------------
+
+def embedding_near_dups(
+    emb: DataFrame,
+    min_cos: float = 0.2,
+    bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (vec_a, vec_b, cos): pairs with cosine ≥ threshold, candidates
+    bounded by equal sign-pattern buckets (near-identical vectors share
+    the sign pattern of their leading dims with high probability — the
+    same candidate-pruning shape as SimHash, over dense embeddings).
+    At scale the bucket equi-join replaces the quadratic all-pairs scan;
+    raising ``bits`` tightens candidates geometrically."""
+    from .similarity import cosine, sign_bucket
+
+    b = emb.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("bucket")
+    )
+    left = b.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "bucket")
+    right = b.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        left.join(right, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= min_cos)
+        .select("vec_a", "vec_b", "cos")
     )

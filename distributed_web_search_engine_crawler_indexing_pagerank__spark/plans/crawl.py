@@ -23,13 +23,24 @@ pushdown/broadcast; AQE handles skew):
 4. fetch: selected ⨝ fetch_responses (the no-network stand-in for
    HEAD/GET; a production fetcher slots in behind the same join contract)
    + robots path gate; outcome decided by one column expression.
-5. link discovery: outlinks pandas UDF (C10–C13) + ``posexplode``;
-   redirect Locations normalized the same way; Bloom-shard pre-pass +
-   exact anti-join vs seen; cap filter; priority-min merge into the
-   frontier via ``groupBy(url_hash).min(struct(...))``.
+5. page persist + link extraction in ONE body pass: the staged crawl
+   parquet materializes each page's ordered crawlable outlinks
+   (C10–C13 pandas UDF) next to the capped body, so link discovery is a
+   column-pruned scan (never re-reads page bytes): ``posexplode`` +
+   JVM-side identity (functions.exprs) + redirect Locations; Bloom-shard
+   pre-pass + exact anti-join vs seen; cap filter; priority-min merge
+   into the frontier via ``groupBy(url_hash).min(struct(...))``.
 6. snapshot commit: frontier overwrite, seen/crawl/trace append, hosts
    overwrite — each with wave id + per-host-shard counters
    (seen/fetched/deferred) in snapshot properties (north_rule lineage).
+
+Worker-pool discipline (measured, sandbox): a stage must never chain two
+Arrow python runners per task — peak worker demand is runners×cores and
+a burst past the warm pool forks new workers whose pandas imports
+serialize under full CPU load. Every python kernel here sits in its own
+stage (outlinks in the body-pass write, robots gate in broadcast builds,
+Bloom probe in the flagged materialization); everything else is
+whole-stage-codegen column expressions.
 
 Scale notes (100 TB / 10^10 frontier): the frontier is hash-partitioned by
 host at write time so the per-host window never globally sorts; the seen
@@ -134,6 +145,9 @@ class SparkCrawler:
         self._buf_crawl: list[str] = []  # staged crawl data dirs
         self._buf_trace: list[DataFrame] = []
         self._buf_seen_pdfs: list[pd.DataFrame] = []  # (url_hash, url) frames
+        # checkpointed proc frames kept alive while fast-path trace
+        # projections reference them (released at the durable commit)
+        self._keep: list[DataFrame] = []
         self._wave_props: list[dict] = []
         # wall-clock per named step() section, accumulated across waves —
         # the profiler's map of where the per-wave fixed cost lives.
@@ -174,7 +188,8 @@ class SparkCrawler:
             self.spark.createDataFrame(
                 [],
                 "url string, url_hash string, host string, response_code int, "
-                "content_type string, page binary, length int, depth int, wave int",
+                "content_type string, page binary, length int, depth int, wave int, "
+                "outlinks array<string>",
             ),
             properties={"wave": -1, "pages": 0},
         )
@@ -297,8 +312,9 @@ class SparkCrawler:
         # memory. The outcome/trace/host logic reads only header columns
         # (the columnar reader prunes `body` from those scans entirely);
         # the bodies flow through exactly ONE pass — responses scan →
-        # byte-cap → staged crawl parquet — and link extraction reads the
-        # (url, page) columns back from that staged file.
+        # byte-cap → outlinks UDF → staged crawl parquet — and link
+        # discovery reads back only the pruned (url_hash, depth,
+        # outlinks) columns, never the bytes.
         sel = (
             selected.join(hosts.select("host", "robots_status", "robots_txt"), "host")
             .withColumn(
@@ -309,10 +325,12 @@ class SparkCrawler:
             )
             # drop robots_txt (KBs/row) BEFORE this frame is broadcast —
             # the downstream joins only need the frontier cols + the gate.
+            # NOT materialized: its only consumers are broadcast builds
+            # inside the proc job; recomputing this ≤1-row/host frame 2×
+            # there costs less than a dedicated barrier job per wave.
             .select(*fcols, "_allowed")
-            .localCheckpoint(eager=True)  # lean; feeds three broadcast builds
         )
-        self._tick("sel_ckpt")
+        self._tick("sel_build")
         resp_meta_cols = ["head_status", "location", "content_type", "content_language"]
         resp_meta = self.responses.select("url", *resp_meta_cols)  # body pruned
         found_meta = resp_meta.join(F.broadcast(sel), "url")
@@ -370,6 +388,11 @@ class SparkCrawler:
                 F.length("page").cast(IntegerType()).alias("length"),
                 "depth",
                 F.lit(wave).alias("wave"),
+                # C10–C13 extracted IN the body pass: the crawl table
+                # materializes each page's ordered crawlable outlinks, so
+                # link discovery never re-reads page bytes (and the link
+                # graph is queryable without re-parsing HTML).
+                outlinks_udf(F.col("url"), F.col("page")).alias("outlinks"),
             )
         )
         n_shards = self.bloom.n_shards
@@ -383,13 +406,12 @@ class SparkCrawler:
         self._tick("crawl_write")
         saved_rb = spark.read.parquet(crawl_dir)  # read-back, columns pruned
 
-        # (5b) link discovery: page outlinks + redirect targets.
+        # (5b) link discovery: the materialized outlinks column (+ redirect
+        # targets). Column-pruned scan — page bytes are not touched again.
         links = saved_rb.select(
             F.col("url_hash").alias("parent_hash"),
             F.col("depth").alias("_pdepth"),
-            F.posexplode(outlinks_udf(F.col("url"), F.col("page"))).alias(
-                "link_idx", "child_url"
-            ),
+            F.posexplode(F.col("outlinks")).alias("link_idx", "child_url"),
         )
         redirects = (
             proc.where((F.col("outcome") == "redirect") & F.col("location").isNotNull())
@@ -454,15 +476,11 @@ class SparkCrawler:
         ).select("host")
         fresh = fresh.join(F.broadcast(over_cap), "host", "left_anti")
         fresh = fresh.join(F.broadcast(seen_add.select("url_hash")), "url_hash", "left_anti")
-        # Materialize BEFORE the Bloom probe: keeps every stage at ≤1
-        # Python runner. A stage chaining two Arrow runners per task
-        # demands 2×cores simultaneous workers — measured to blow the
-        # worker pool (spawn storm, ~1-2 s pandas import each, serialized
-        # by CPU contention) at high core counts. With the split, the
-        # outlinks stage and the probe stage each reuse the same ≤cores
-        # warm workers.
-        fresh = fresh.localCheckpoint(eager=True)
-        self._tick("links_extract")
+        # No materialization needed before the probe: outlinks were
+        # extracted in the body pass and identity is JVM-side, so this
+        # stage holds exactly ONE Python runner (the probe) — worker-pool
+        # discipline: a stage must never chain two Arrow runners per task
+        # (2×cores simultaneous workers = spawn storm at high core counts).
         # keep ≥10 bits/key before probing: grows shards (power-of-two) and
         # rebuilds exactly from the ledger when the filter would saturate.
         self.bloom.ensure_capacity(seen.withColumn("host", host_key_col(F.col("url"))))
@@ -533,11 +551,14 @@ class SparkCrawler:
             merged_m = merged_obs.localCheckpoint(eager=True)
             deferred = obs_frontier.get
             hosts_m = hosts_new.localCheckpoint(eager=True)
-            trace_m = trace_add.localCheckpoint(eager=True)
+            # the trace projection stays LAZY over the checkpointed proc
+            # (retained in _keep until the durable flush) — zero extra
+            # materialization jobs for trace buffering.
             self._buf_crawl.append(crawl_dir)
-            self._buf_trace.append(trace_m)
+            self._buf_trace.append(trace_add)
             self._buf_seen_pdfs.append(add_pdf[["url_hash", "url"]])
             self._mem = {"frontier": merged_m, "hosts": hosts_m}
+            self._keep.append(proc)
 
         self._tick("commit")
 
@@ -558,7 +579,10 @@ class SparkCrawler:
         else:
             self._wave_props.append(wave)
 
-        for df in (hosts, classified, sel, proc, seen_add, fresh, merged):
+        released = (hosts, classified, seen_add, fresh, merged) + (
+            (proc,) if durable else ()
+        )
+        for df in released:
             df.unpersist()
         for df in prev_mem.values():
             df.unpersist()
@@ -602,9 +626,10 @@ class SparkCrawler:
         self.cat.write("hosts", hosts_new, "overwrite", base_props)
         self.cat.write("trace", trace_df, "append", base_props)
 
-        for buf in self._buf_trace:
-            buf.unpersist()
+        for df in self._keep:
+            df.unpersist()
         self._buf_crawl, self._buf_trace, self._buf_seen_pdfs = [], [], []
+        self._keep = []
         self._mem = {}
         return deferred
 
@@ -652,10 +677,10 @@ class SparkCrawler:
             self._commit_frontier(self._mem["frontier"], self.wave - 1, props)
         if "hosts" in self._mem:
             self.cat.write("hosts", self._mem["hosts"], properties=props)
-        for df in self._buf_trace + list(self._mem.values()):
+        for df in self._keep + list(self._mem.values()):
             df.unpersist()
         self._buf_crawl, self._buf_trace, self._buf_seen_pdfs = [], [], []
-        self._mem, self._wave_props = {}, []
+        self._mem, self._keep, self._wave_props = {}, [], []
 
     # -- driver loop -------------------------------------------------------------
     def total_pages(self) -> int:

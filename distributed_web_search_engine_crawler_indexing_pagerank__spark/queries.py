@@ -803,6 +803,42 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(_t(spark, sf_dir, "documents"))
 
 
+EMBED_NEARDUP_MIN_COS = 0.2
+EMBED_NEARDUP_BITS = 4
+
+
+def q_embed_neardup(spark, sf_dir):
+    """embedding-cosine near-dup pairs, sign-bucket candidate pruning
+    (the dense-vector member of the dedup family)."""
+    return dedup.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"),
+        min_cos=EMBED_NEARDUP_MIN_COS,
+        bits=EMBED_NEARDUP_BITS,
+    )
+
+
+def _sql_embed_neardup() -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}]::DOUBLE > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(EMBED_NEARDUP_BITS)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings),
+pairs AS (
+  SELECT l.vec_id AS vec_a, r.vec_id AS vec_b,
+         round(
+           list_dot_product(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) /
+           (sqrt(list_dot_product(l.embedding::DOUBLE[], l.embedding::DOUBLE[])) *
+            sqrt(list_dot_product(r.embedding::DOUBLE[], r.embedding::DOUBLE[]))), 6) AS cos
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= {EMBED_NEARDUP_MIN_COS}
+"""
+
+
+SQL_EMBED_NEARDUP = _sql_embed_neardup()
+
+
 def _sql_simhash() -> str:
     # bit b of md5: hex digit b//4+1; within-digit bit b%4 (8s bit first)
     digit_sets = {0: "89abcdef", 1: "4567cdef", 2: "2367abef", 3: "13579bdf"}
@@ -868,6 +904,17 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 
 def q_ivf_ann(spark, sf_dir):
     return similarity.ivf_ann_topk(_t(spark, sf_dir, "embeddings"), k=3)
+
+
+def q_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with a LEARNED coarse quantizer: deterministic distributed
+    k-means codebook, nprobe>1 multi-cell probe, salted inverted lists
+    bounding bucket occupancy. No SQL oracle (iterative training loop);
+    the exactness anchor — exhaustive probe ≡ brute-force cosine_topk —
+    and the recall gate live in tests/test_similarity_kmeans.py."""
+    return similarity.ivf_kmeans_topk(
+        _t(spark, sf_dir, "embeddings"), k=5, n_centroids=8, nprobe=3, iters=3
+    )
 
 
 _BUCKET_SQL = " + ".join(
@@ -1057,9 +1104,11 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "q_minhash_lsh": (q_minhash_lsh, SQL_MINHASH),
     "q_simhash": (q_simhash, SQL_SIMHASH),
+    "q_embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     # similarity
     "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "q_ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
+    "q_ivf_kmeans": (q_ivf_kmeans, None),  # iterative training — pytest anchor
     # formerly rows-only — now with exact cross-engine oracles
     "q_sample": (q_sample, SQL_SAMPLE),
     "q_pagerank_docs": (q_pagerank_docs, SQL_PAGERANK_DOCS),

@@ -34,7 +34,12 @@ def main() -> None:
     ap.add_argument("--waves", type=int, default=3)
     ap.add_argument("--heft", type=int, default=120)
     ap.add_argument("--checkpoint-interval", type=int, default=4)
+    ap.add_argument("--web-dir", default=None)
     args = ap.parse_args()
+    web_dir = args.web_dir or os.path.join(
+        "/tmp", f"benchweb-h{args.hosts}-p{args.pages_base}-f{args.heft}-s101"
+    )
+    os.makedirs(web_dir, exist_ok=True)
 
     evdir = tempfile.mkdtemp(prefix="crawl-ev-")
     from distributed_web_search_engine_crawler_indexing_pagerank__spark.session import get_spark
@@ -64,6 +69,7 @@ def main() -> None:
         partitions=args.cores,
         heft=args.heft,
         checkpoint_interval=args.checkpoint_interval,
+        web_dir=web_dir,
     )
     wall = time.time() - t0
     print("RESULT", json.dumps(res))

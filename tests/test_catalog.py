@@ -60,3 +60,38 @@ def test_vacuum_keeps_current_chain(spark, cat, tmp_path):
     cat.vacuum("t")
     # current snapshot still readable after vacuum
     assert sorted(r["x"] for r in cat.read(spark, "t").collect()) == [3]
+
+
+def test_concurrent_writer_cas_conflict(spark, cat):
+    """Two writers racing for the same snapshot id: the second loses with
+    CommitConflict instead of silently replacing the first's snapshot
+    (optimistic concurrency; reference CAS, kvs/Worker.java:318-331)."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog import (
+        CommitConflict,
+    )
+
+    cat.write("t", _df(spark, [1]))
+    # writer B claims the next snapshot id (simulating the interleave
+    # where B passed the manifest-load but A committed first)
+    nxt = cat.current_snapshot("t").snapshot_id + 1
+    guard = os.path.join(cat._table_dir("t"), f".commit-{nxt:06d}")
+    open(guard, "w").close()
+    with pytest.raises(CommitConflict):
+        cat.write("t", _df(spark, [2]))
+    # state unchanged; after the conflict clears, a retry commits fine
+    assert [r["x"] for r in cat.read(spark, "t").collect()] == [1]
+    os.unlink(guard)
+    cat.write("t", _df(spark, [2]))
+    assert [r["x"] for r in cat.read(spark, "t").collect()] == [2]
+    # vacuum reclaims consumed guards but keeps an in-flight claim
+    inflight = os.path.join(
+        cat._table_dir("t"), f".commit-{cat.current_snapshot('t').snapshot_id + 1:06d}"
+    )
+    open(inflight, "w").close()
+    cat.vacuum("t")
+    assert os.path.exists(inflight)
+    consumed = [
+        e for e in os.listdir(cat._table_dir("t"))
+        if e.startswith(".commit-") and e != os.path.basename(inflight)
+    ]
+    assert consumed == []
