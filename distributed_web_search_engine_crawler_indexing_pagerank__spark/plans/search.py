@@ -9,10 +9,19 @@ AND via match-count (Q4) → join tfidf + pageranks → score expression
 (Q5) → title-dedupe window + order/limit (Q6). Point-read storms become
 joins (SURVEY.md §4.3).
 
-Score (ResultPageHandler.java:101-191, geo boost out of scope):
+Score (ResultPageHandler.java:101-191):
 ``0.45·ln(1+PR) + 0.45·avg(tfidf of matched terms) + 0.07·titleHitFrac +
-0.03·urlHitFrac``, × length penalty ``1/(1+(len−120)/60)`` for urls
-longer than 120 chars.
+0.03·urlHitFrac``, × ``(1+0.2·geo)`` when the geo boost fires
+(ResultPageHandler.java:156-176), × length penalty ``1/(1+(len−120)/60)``
+for urls longer than 120 chars.
+
+Q8 geo boost: the reference resolves (lat, lon) → city via Nominatim
+reverse-geocoding with a hardcoded bounding-box fallback
+(ResultPageHandler.java:251-385). The external HTTP call is out of scope
+(and the reference itself treats any failure as null ⇒ fall through to
+the bbox chain), so here the deterministic bbox chain IS the resolver;
+the boost itself — lowercase city substring in title/url/snippet → 1.0 —
+is exact (computeGeoBoost, ResultPageHandler.java:366-385).
 """
 
 from __future__ import annotations
@@ -21,9 +30,59 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ..javaport.tokenize import is_stop_word
 
-__all__ = ["tokenize_query", "search", "spellcheck", "autocomplete"]
+__all__ = [
+    "tokenize_query",
+    "search",
+    "spellcheck",
+    "autocomplete",
+    "infer_city_keyword",
+    "geo_boost_col",
+]
 
 PAGE_SIZE = 10  # ResultPageHandler.java:28
+
+# Bounding boxes from inferCityKeywordFromLocation
+# (ResultPageHandler.java:331-363) — order preserved: overlapping boxes
+# (SF before Oakland) resolve by first match, exactly as the if-chain does.
+_CITY_BBOXES: list[tuple[str, float, float, float, float]] = [
+    ("New York", 40.3, 41.1, -74.5, -73.3),
+    ("Los Angeles", 33.7, 34.4, -119.0, -117.5),
+    ("San Francisco", 37.70, 37.83, -122.53, -122.35),
+    ("Oakland", 37.70, 37.90, -122.30, -122.10),
+    ("San Jose", 37.20, 37.45, -122.05, -121.75),
+    ("Philadelphia", 39.8, 40.2, -75.3, -74.8),
+]
+
+
+def infer_city_keyword(lat, lon):
+    """Q8 resolver: (lat, lon) columns → city name or NULL — the
+    reference's bbox fallback chain (ResultPageHandler.java:331-363;
+    strict < / > bounds, first box wins). The Nominatim primary path is
+    an external service and null on any failure, so the fallback is the
+    deterministic semantics."""
+    expr = F.lit(None).cast("string")
+    for city, lat_lo, lat_hi, lon_lo, lon_hi in reversed(_CITY_BBOXES):
+        expr = F.when(
+            (lat > lat_lo) & (lat < lat_hi) & (lon > lon_lo) & (lon < lon_hi),
+            F.lit(city),
+        ).otherwise(expr)
+    return expr
+
+
+def geo_boost_col(city, title, url, snippet):
+    """Q8 boost: 1.0 iff lower(city) is a substring of the lowercased
+    title, url, or snippet; else 0.0; 0.0 when city is NULL
+    (computeGeoBoost, ResultPageHandler.java:366-385 — keyword lowered at
+    the call site, line 71)."""
+    kw = F.lower(city)
+    hit = (
+        F.lower(F.coalesce(title, F.lit(""))).contains(kw)
+        | F.lower(F.coalesce(url, F.lit(""))).contains(kw)
+        | F.lower(F.coalesce(snippet, F.lit(""))).contains(kw)
+    )
+    return F.when(city.isNull() | (F.length(kw) == 0), F.lit(0.0)).otherwise(
+        F.when(hit, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
 
 
 def tokenize_query(query: str) -> list[str]:
@@ -38,8 +97,12 @@ def search(
     pageranks: DataFrame,
     page: int = 0,
     page_size: int = PAGE_SIZE,
+    lat: float | None = None,
+    lon: float | None = None,
 ) -> DataFrame:
-    """→ top results (url, title, snippet, score) for the query."""
+    """→ top results (url, title, snippet, score) for the query.
+    When (lat, lon) is given, the Q8 geo boost multiplies matching rows'
+    scores by 1.2 (ResultPageHandler.java:175-176)."""
     words = tokenize_query(query)
     if not words:
         return pageranks.select("url", "title", "snippet").limit(0).withColumn(
@@ -82,6 +145,14 @@ def search(
         + F.lit(0.07) * (title_hits / F.lit(n_words))
         + F.lit(0.03) * (url_hits / F.lit(n_words))
     )
+    if lat is not None and lon is not None:
+        # city is a literal per query — resolved once, constant-folded by
+        # Catalyst into the boost predicate (no per-row bbox work).
+        city = infer_city_keyword(F.lit(float(lat)), F.lit(float(lon)))
+        geo = geo_boost_col(
+            city, F.col("title"), F.col("url"), F.col("snippet")
+        )
+        base = base * (F.lit(1.0) + F.lit(0.2) * geo)
     penalty = F.when(
         F.length("url") > 120,
         F.lit(1.0) / (F.lit(1.0) + (F.length("url") - 120) / F.lit(60.0)),

@@ -645,6 +645,104 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
 
+# Q8 geo boost (ResultPageHandler.java:251-385): deterministic probe
+# points exercise every bbox in the fallback chain plus two misses; even
+# doc_ids embed the lowercased city in the synthetic url so the substring
+# boost fires on exactly the even in-bbox rows. SQL is GENERATED from the
+# same _CITY_BBOXES/_GEO_PROBES constants the Spark side reads.
+_GEO_PROBES: list[tuple[float, float]] = [
+    (40.7, -74.0),      # New York
+    (34.05, -118.25),   # Los Angeles
+    (37.77, -122.42),   # San Francisco (overlaps Oakland's lat band)
+    (37.80, -122.20),   # Oakland
+    (37.33, -121.89),   # San Jose
+    (40.0, -75.1),      # Philadelphia
+    (47.6, -122.33),    # miss
+    (0.0, 0.0),         # miss
+]
+
+
+def q_geo_boost(spark, sf_dir):
+    """Q8 (§2.5): bbox city inference + substring geo boost and the
+    ×(1+0.2·geo) score multiplier (ResultPageHandler.java:156-176,
+    331-385)."""
+    from .plans.search import geo_boost_col, infer_city_keyword
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = F.pmod(F.col("doc_id"), F.lit(len(_GEO_PROBES))) + 1
+    lat = F.element_at(F.array(*[F.lit(p[0]) for p in _GEO_PROBES]), idx.cast("int"))
+    lon = F.element_at(F.array(*[F.lit(p[1]) for p in _GEO_PROBES]), idx.cast("int"))
+    city = infer_city_keyword(lat, lon)
+    probed = docs.select(
+        "doc_id",
+        city.alias("city"),
+        F.col("source").alias("title"),
+        F.concat(
+            F.lit("https://ex.test/"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lower(F.coalesce(city, F.lit("none")))).otherwise(F.lit("page")),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.substring("text", 1, 80).alias("snippet"),
+    )
+    geo = geo_boost_col(F.col("city"), F.col("title"), F.col("url"), F.col("snippet"))
+    base = F.lit(1.0) / (F.col("doc_id") + 1.0)
+    return probed.select(
+        "doc_id",
+        "city",
+        geo.alias("geo_boost"),
+        F.round(base * (F.lit(1.0) + F.lit(0.2) * geo), 6).alias("score"),
+    )
+
+
+def _sql_geo_boost() -> str:
+    from .plans.search import _CITY_BBOXES
+
+    n = len(_GEO_PROBES)
+    lats = ", ".join(repr(p[0]) for p in _GEO_PROBES)
+    lons = ", ".join(repr(p[1]) for p in _GEO_PROBES)
+    chain = " ".join(
+        f"WHEN lat > {la_lo} AND lat < {la_hi} AND lon > {lo_lo} AND lon < {lo_hi} "
+        f"THEN '{city}'"
+        for city, la_lo, la_hi, lo_lo, lo_hi in _CITY_BBOXES
+    )
+    return f"""
+WITH probed AS (
+  SELECT doc_id,
+         ([{lats}])[(doc_id % {n}) + 1] AS lat,
+         ([{lons}])[(doc_id % {n}) + 1] AS lon,
+         source AS title,
+         substr(text, 1, 80) AS snippet
+  FROM documents
+),
+cities AS (
+  SELECT *, CASE {chain} ELSE NULL END AS city FROM probed
+),
+urls AS (
+  SELECT *,
+         'https://ex.test/' ||
+         CASE WHEN doc_id % 2 = 0 THEN lower(coalesce(city, 'none')) ELSE 'page' END
+         || '/' || doc_id AS url
+  FROM cities
+),
+boosted AS (
+  SELECT *,
+         CASE WHEN city IS NULL THEN 0.0
+              WHEN contains(lower(coalesce(title, '')), lower(city))
+                OR contains(lower(url), lower(city))
+                OR contains(lower(coalesce(snippet, '')), lower(city))
+              THEN 1.0 ELSE 0.0 END AS geo_boost
+  FROM urls
+)
+SELECT doc_id, city, geo_boost,
+       round((1.0 / (doc_id + 1.0)) * (1.0 + 0.2 * geo_boost), 6) AS score
+FROM boosted
+"""
+
+
+SQL_GEO_BOOST = _sql_geo_boost()
+
+
 # ---------------------------------------------------------------------------
 # training-data operators
 # ---------------------------------------------------------------------------
@@ -1093,6 +1191,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
     "q_autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
     "q_search_scoring": (q_search_scoring, SQL_SEARCH_SCORING),
+    "q_geo_boost": (q_geo_boost, SQL_GEO_BOOST),
     # indexing / scoring
     "q_index_words": (q_index_words, SQL_INDEX_WORDS),
     "q_tfidf_docs": (q_tfidf_docs, SQL_TFIDF),

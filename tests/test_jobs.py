@@ -204,6 +204,58 @@ def test_search_and_semantics_and_ranking(spark):
     assert srch.tokenize_query("the apple AND banana") == ["apple", "banana"]
 
 
+def test_search_geo_boost(spark):
+    """Q8: bbox city inference + ×(1+0.2·geo) multiplier
+    (ResultPageHandler.java:156-176, 331-385)."""
+    index = spark.createDataFrame(
+        [("apple", ["u1", "u2"], 2)], "word string, urls array<string>, df long"
+    )
+    tfidf = spark.createDataFrame(
+        [("u1", "apple", 0.0, 0.0, 0.5), ("u2", "apple", 0.0, 0.0, 0.5)],
+        "url string, word string, tf double, idf double, tfidf double",
+    )
+    pageranks = spark.createDataFrame(
+        [
+            ("u1", "Visit New York apple guide", "s1", 0.4),
+            ("u2", "apple elsewhere", "s2", 0.4),
+        ],
+        "url string, title string, snippet string, pagerank double",
+    )
+    plain = {r["url"]: r["score"] for r in srch.search("apple", index, tfidf, pageranks).collect()}
+    # NYC probe point → city "new york" → only u1's title matches
+    boosted = {
+        r["url"]: r["score"]
+        for r in srch.search("apple", index, tfidf, pageranks, lat=40.7, lon=-74.0).collect()
+    }
+    assert boosted["u1"] == pytest.approx(plain["u1"] * 1.2, rel=1e-12)
+    assert boosted["u2"] == pytest.approx(plain["u2"], rel=1e-12)
+    # outside every bbox → no city → no boost anywhere
+    miss = {
+        r["url"]: r["score"]
+        for r in srch.search("apple", index, tfidf, pageranks, lat=47.6, lon=-122.33).collect()
+    }
+    assert miss == pytest.approx(plain)
+    # first-match-wins on the overlapping SF/Oakland lat band
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.plans.search import (
+        infer_city_keyword,
+    )
+    from pyspark.sql import functions as F
+
+    one = spark.range(1)
+    got = one.select(
+        infer_city_keyword(F.lit(37.77), F.lit(-122.42)).alias("sf"),
+        infer_city_keyword(F.lit(37.80), F.lit(-122.20)).alias("oak"),
+        infer_city_keyword(F.lit(40.0), F.lit(-75.1)).alias("philly"),
+        infer_city_keyword(F.lit(0.0), F.lit(0.0)).alias("none"),
+    ).first()
+    assert (got["sf"], got["oak"], got["philly"], got["none"]) == (
+        "San Francisco",
+        "Oakland",
+        "Philadelphia",
+        None,
+    )
+
+
 def F_lit0(name):
     from pyspark.sql import functions as F
 
