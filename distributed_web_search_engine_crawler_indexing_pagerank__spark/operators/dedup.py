@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .textops import tokens_col
+from .textops import spread, tokens_col
 
 __all__ = [
     "SHINGLE_N",
@@ -33,6 +33,7 @@ __all__ = [
     "exact_dedup",
     "shingles",
     "ngram_jaccard_pairs",
+    "minhash_signature_rows",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
@@ -79,6 +80,7 @@ def shingles(
     Documents with fewer than ``n`` tokens yield no shingles (the
     short-doc guard: an unguarded descending sequence would make
     ``slice`` throw on i<0)."""
+    df = spread(df)
     toks = tokens_col(F.lower(F.col(text_col)))
     grams = F.when(
         F.size(toks) >= n,
@@ -102,31 +104,31 @@ def ngram_jaccard_pairs(
 
     Hot shingles (document frequency > ``max_df``) are dropped before the
     self-join AND before the per-doc sizes, so jaccard stays consistent:
-    it is exact Jaccard over the filtered shingle sets. The hot set is
-    tiny by construction (each survivor appears in > max_df docs, so
-    there are < N/max_df of them) → broadcast anti-join, no shuffle of
-    the shingle table."""
+    it is exact Jaccard over the filtered shingle sets. The self-join has
+    to shuffle by shingle anyway, so the df filter is a window over that
+    same exchange — the explode+shuffle happens once and both join sides
+    reuse it, and dropping hot shingles is what bounds the join away from
+    quadratic blowup on boilerplate."""
     sh = shingles(df, text_col, id_col)
     if max_df is not None:
-        hot = (
-            sh.groupBy("sh")
-            .agg(F.count("*").alias("df_sh"))
-            .where(F.col("df_sh") > max_df)
-            .select("sh")
-        )
-        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "sh")
-    b = sh.select(F.col(id_col).alias("doc_b"), "sh")
-    inter = (
+        # df via window over the ONE shuffle by shingle — the same
+        # exchange then feeds both sides of the self-join (ReusedExchange),
+        # so the shingle explosion is computed and shuffled once, not four
+        # times (agg + anti-join + two join sides).
+        sh = sh.withColumn(
+            "_df_sh", F.count("*").over(Window.partitionBy("sh"))
+        ).where(F.col("_df_sh") <= max_df)
+    # n_sh rides along on every shingle row (window over doc), so the
+    # pair join below already carries both set sizes — no post-join
+    # re-join against a per-doc size table.
+    sh = sh.withColumn("_n_sh", F.count("*").over(Window.partitionBy(id_col)))
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("_n_sh").alias("na"), "sh")
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("_n_sh").alias("nb"), "sh")
+    return (
         a.join(b, "sh")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "na"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "nb"), "doc_b")
+        .agg(F.count("*").alias("inter"), F.first("na").alias("na"), F.first("nb").alias("nb"))
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
@@ -138,20 +140,37 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH --------------------------------------------------------------
 
+def minhash_signature_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
+) -> DataFrame:
+    """→ (doc_id, sig: array<string>[k]): per-seed min of md5(seed:shingle)
+    — the classic K-permutation MinHash approximated with salted hashes.
+
+    One row per document, computed as K min-aggregates in a SINGLE
+    partial-aggregating groupBy over the shingle rows: no K-way seed
+    explode (the old long form multiplied the shuffle by K), and every
+    md5 stays inside whole-stage codegen."""
+    sh = shingles(df, text_col, id_col)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("sh")))).alias(f"_s{i}")
+        for i in range(k)
+    ]
+    return (
+        sh.groupBy(id_col)
+        .agg(*mins)
+        .select(id_col, F.array(*[F.col(f"_s{i}") for i in range(k)]).alias("sig"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = MINHASH_K
 ) -> DataFrame:
-    """→ (doc_id, seed, sig): per-seed min of md5(seed:shingle) — the
-    classic K-permutation MinHash approximated with salted hashes."""
-    sh = shingles(df, text_col, id_col)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
-    return (
-        sh.select(id_col, "sh", seeds)
-        .withColumn(
-            "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("sh")))
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("sig"))
+    """→ (doc_id, seed, sig): the long (one row per seed) view of
+    :func:`minhash_signature_rows`, kept for oracle parity and callers
+    that want the classic layout."""
+    rows = minhash_signature_rows(df, text_col, id_col, k)
+    return rows.select(
+        id_col, F.posexplode("sig").alias("seed", "sig")
     )
 
 
@@ -164,41 +183,44 @@ def minhash_lsh_pairs(
     bands: int = MINHASH_BANDS,
 ) -> DataFrame:
     """→ (doc_a, doc_b, est_jaccard): candidates = pairs sharing ≥1 LSH
-    band bucket; est_jaccard = matching-signature fraction, rounded 6."""
-    sigs = minhash_signatures(df, text_col, id_col, k)
+    band bucket; est_jaccard = matching-signature fraction, rounded 6.
+
+    Everything downstream of the signature groupBy works on one compact
+    row per document: band keys are md5s over array slices (column
+    expressions, no per-band aggregation), the bucket equi-join explodes
+    only B tiny (band, bkey) rows per doc, and the estimate is an
+    element-wise array comparison after two one-row-per-doc joins —
+    at 10^9 docs the heavy shuffle happens exactly once."""
+    rows = minhash_signature_rows(df, text_col, id_col, k)
     rows_per_band = k // bands
-    banded = sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band))
-    band_keys = banded.groupBy(id_col, "band").agg(
-        F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "sig"))),
-                    lambda s: s["sig"],
-                ),
-            )
-        ).alias("bkey")
+    bkeys = F.array(
+        *[
+            F.md5(F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band)))
+            for b in range(bands)
+        ]
+    )
+    banded = rows.select(
+        F.col(id_col), F.posexplode(bkeys).alias("band", "bkey")
     )
     cand = (
-        band_keys.select(F.col(id_col).alias("doc_a"), "band", "bkey")
-        .join(band_keys.select(F.col(id_col).alias("doc_b"), "band", "bkey"), ["band", "bkey"])
+        banded.select(F.col(id_col).alias("doc_a"), "band", "bkey")
+        .join(banded.select(F.col(id_col).alias("doc_b"), "band", "bkey"), ["band", "bkey"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sigs.select(F.col(id_col).alias("doc_a"), "seed", F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("doc_b"), "seed", F.col("sig").alias("sig_b"))
-    est = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.round(
-                F.sum((F.col("sig_a") == F.col("sig_b")).cast("int")) / F.lit(float(k)), 6
-            ).alias("est_jaccard")
-        )
+    sa = rows.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = rows.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
-    return est.where(F.col("est_jaccard") >= min_est)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", F.round(matches / F.lit(float(k)), 6))
+        .where(F.col("est_jaccard") >= min_est)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
 
 
 # --- SimHash ----------------------------------------------------------------------
@@ -219,6 +241,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     majority of the doc's distinct tokens have bit b of md5(token) set
     (±1 vote per token). Bit b of the hash = bit (b%4, 8s-first) of hex
     digit b//4 — the exact construction the SQL oracle mirrors."""
+    df = spread(df)
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_col(F.lower(F.col(text_col))))).alias("tok"),

@@ -20,6 +20,7 @@ __all__ = [
     "LANG_MARKERS",
     "QUALITY_STOPWORDS",
     "tokens_col",
+    "spread",
     "token_counts",
     "lang_id",
     "quality_score",
@@ -47,6 +48,23 @@ QUALITY_STOPWORDS = ["the", "and", "of", "to", "in", "a", "is"]
 def tokens_col(col: Column) -> Column:
     """Whitespace tokens of trimmed text."""
     return F.split(F.trim(col), WS_PATTERN)
+
+
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure at least ``min_parts`` (default: cluster parallelism)
+    partitions before a CPU-heavy per-row kernel.
+
+    Parquet scans parallelize by row group; a small single-row-group file
+    is a one-task scan, which serializes every downstream explode/hash
+    regardless of cluster size. At real scale inputs carry plenty of row
+    groups and this is a no-op (checked from the plan, no job runs); it
+    only repartitions when the scan genuinely under-splits — exactly the
+    case where the shuffled bytes are small."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

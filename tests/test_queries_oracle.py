@@ -58,7 +58,8 @@ def _normalize(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     cols = [columns[i] for i in order]
     data = sorted(
-        tuple(_norm_cell(r[i]) for i in order) for r in rows
+        (tuple(_norm_cell(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple((v is None, str(type(v)), v if v is not None else "") for v in t),
     )
     return cols, data
 
