@@ -1,13 +1,15 @@
 #!/usr/bin/env python3
 """Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR plus the
 crawl-replay throughput run. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": N, "unit": "urls/sec", "queries": {...}, "sf": ...}
 
-``value`` = total headline seconds (lower is better). The crawl replay's
-urls/sec — the BASELINE.json north-star throughput — is reported both as
-its wall time in ``queries.crawl_replay`` and as ``crawl_urls_per_sec``.
-Scaling evidence across two parallelism levels lives in
-BENCH/BASELINE.md (scripts/bench_scaling.py).
+``value`` = frontier URLs scheduled+fetched per second in the crawl
+replay — BASELINE.json's authoritative metric (higher is better), on a
+workload-size-independent scale so rounds stay comparable even when the
+replay workload grows. Per-query wall seconds (including the replay's,
+as ``crawl_replay``) are in ``queries``; their sum is
+``headline_total_sec``. Scaling evidence across two parallelism levels
+lives in BENCH/BASELINE.md (scripts/bench_scaling.py).
 """
 
 from __future__ import annotations
@@ -79,11 +81,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
+                "metric": "crawl_urls_per_sec",
+                "value": crawl["urls_per_sec"],
+                "unit": "urls/sec",
                 "queries": timings,
                 "sf": sf,
+                "headline_total_sec": total,
                 "crawl_urls_per_sec": crawl["urls_per_sec"],
                 "crawl_urls_scheduled": crawl["urls_scheduled"],
                 "crawl_pages_fetched": crawl["pages_fetched"],
