@@ -115,6 +115,10 @@ def run_crawl_bench(
             n_bloom_shards=16,
             frontier_partitions=partitions,
             checkpoint_interval=checkpoint_interval,
+            # capacity-plan the URL-seen shards for the whole replay —
+            # every response URL can enter the seen set, so no mid-wave
+            # Bloom rebuild happens in the measured window
+            expected_urls=n_hosts * (pages_base + 4),
         )
         seeds = webgen.seed_urls(seed, n_hosts, pages_base, n_seeds)
         crawler.init_from_seeds(seeds)

@@ -124,13 +124,27 @@ class SparkCrawler:
         n_bloom_shards: int = 16,
         frontier_partitions: int = 32,
         checkpoint_interval: int = 1,
+        expected_urls: int | None = None,
     ):
         self.spark = spark
         self.cat = catalog
         self.cfg = config or CrawlConfig()
         self.responses = responses_df
         self.robots = robots_df
-        self.bloom = BloomShards(n_shards=n_bloom_shards)
+        # capacity planning: pre-size the Bloom shards for the expected
+        # URL-seen population (power-of-two bits, ≥10 bits/key with 2×
+        # headroom) so no mid-crawl rebuild pauses a wave; ensure_capacity
+        # stays as the safety net if the estimate was low.
+        bits_per_shard = 1 << 17
+        if expected_urls:
+            from .bloom import BITS_PER_KEY
+
+            need = 2 * BITS_PER_KEY * expected_urls // n_bloom_shards
+            while bits_per_shard < need:
+                bits_per_shard *= 2
+        self.bloom = BloomShards(
+            n_shards=n_bloom_shards, bits_per_shard=bits_per_shard
+        )
         self.frontier_partitions = frontier_partitions
         self.robots_allows_udf = make_robots_allows_udf(strict=self.cfg.strict_robots)
         self.wave = 0

@@ -52,14 +52,36 @@ def pagerank(
     d: float = DAMPING,
     eps: float = CONVERGENCE,
     max_iter: int = MAX_ITERATIONS,
+    catalog=None,
+    checkpoint_every: int = 5,
+    ranks_table: str = "pagerank_ranks",
 ) -> DataFrame:
     """→ (url, rank): P2–P6 as distributed joins. Vertices = graph sources
-    (the reference seeds ranks from the graph table, :229-272)."""
+    (the reference seeds ranks from the graph table, :229-272).
+
+    Iteration resume (the reference's ``pt-pagerank-progress`` markers,
+    PageRank.java:33-47): pass ``catalog`` to commit the rank vector with
+    {iteration, residual, dangling} snapshot properties every
+    ``checkpoint_every`` iterations; a restarted call with the same
+    catalog resumes from the last committed iteration instead of
+    re-running the chain from 1/N. Rank trajectories are deterministic,
+    so resumed and uninterrupted runs converge identically."""
+    spark = graph.sparkSession
     vertices = graph.select(F.col("src").alias("url")).distinct().localCheckpoint(eager=True)
     n = vertices.count()
     if n == 0:
         return vertices.withColumn("rank", F.lit(0.0))
     ranks = vertices.withColumn("rank", F.lit(1.0 / n))
+    start_iter = 0
+    resumed_dangling = None
+    if catalog is not None and catalog.exists(ranks_table):
+        snap = catalog.current_snapshot(ranks_table)
+        if snap is not None and snap.properties.get("iteration"):
+            start_iter = int(snap.properties["iteration"])
+            resumed_dangling = float(snap.properties["dangling"])
+            ranks = catalog.read(spark, ranks_table).localCheckpoint(eager=True)
+            if float(snap.properties.get("residual", 1.0)) < eps:
+                return ranks
 
     # edges restricted to known vertices? The reference scatters to any
     # dest hash and only final ranks of graph vertices survive the final
@@ -85,9 +107,11 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_dangling = flags.where(~F.col("has_out")).count()
-    dangling = n_dangling / n  # initial ranks are uniform 1/n
+    # initial ranks are uniform 1/n; a resumed run restored its dangling
+    # mass from the snapshot properties
+    dangling = resumed_dangling if resumed_dangling is not None else n_dangling / n
 
-    for _ in range(max_iter):
+    for it in range(start_iter, max_iter):
         contribs = (
             edges.join(outdeg, "src")
             .join(ranks.withColumnRenamed("url", "src"), "src")
@@ -122,7 +146,19 @@ def pagerank(
         )
         residual, dangling = stats["res"], stats["dang"] or 0.0
         ranks = new_ranks
-        if residual is not None and residual < eps:
+        converged = residual is not None and residual < eps
+        if catalog is not None and (converged or (it + 1) % checkpoint_every == 0):
+            catalog.write(
+                ranks_table,
+                ranks,
+                mode="overwrite",
+                properties={
+                    "iteration": it + 1,
+                    "residual": float(residual if residual is not None else 0.0),
+                    "dangling": float(dangling),
+                },
+            )
+        if converged:
             break
     return ranks
 

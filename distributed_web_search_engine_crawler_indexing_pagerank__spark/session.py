@@ -61,10 +61,14 @@ def get_spark(
         # GC-thrashes at 32 tasks (A/B on the crawl replay: 256-row
         # batches cut wave wall ~25% vs 1000). 256 × 60 KB ≈ 15 MB/task.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
-        # same reasoning for the vectorized parquet reader: default 4096
-        # rows × tens-of-KB binary cells = ~100 MB live per task — at high
-        # task counts that is pure GC churn. 512 × 50 KB ≈ 25 MB.
-        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # same reasoning for the vectorized parquet reader, and the
+        # empirically critical one: Common-Crawl-ish bodies average
+        # ~175 KB, so even 512 rows = ~90 MB of live columnar batch per
+        # task — at 8+ tasks the old gen fills and repeat scans collapse
+        # (measured: 4s → 30s per scan as GC debt accumulates). 64 rows
+        # ≈ 11 MB/task keeps batches young-gen-sized; narrow OLAP scans
+        # pay only ~25% on per-batch overhead, negligible absolute.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "64")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

@@ -70,6 +70,51 @@ def test_indexer_matches_python_oracle(pages_df, pages_pd):
     assert len(got) > 10
 
 
+def test_indexer_resume_markers(spark, pages_df, tmp_path_factory):
+    """I5: a run killed mid-way resumes from chunk markers and never
+    re-extracts committed chunks; the result equals the one-shot build."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog import (
+        Catalog,
+    )
+
+    cat = Catalog(str(tmp_path_factory.mktemp("idxcat")))
+    first = indexer.ResumableIndexer(spark, cat, n_chunks=4)
+
+    # simulate a crash: index only chunks 0-1, then "die" before finalize
+    chunk_of = indexer.F.pmod(indexer.F.xxhash64(indexer.F.col("url")), indexer.F.lit(4))
+    for chunk in (0, 1):
+        pairs = indexer.indexable_words(
+            pages_df.where(chunk_of == chunk)
+        ).withColumn("chunk", indexer.F.lit(chunk))
+        cat.write(
+            first.PAIRS_TABLE,
+            pairs,
+            mode="append",
+            properties={"done_chunks": list(range(chunk + 1))},
+        )
+    with pytest.raises(RuntimeError, match="chunks not yet indexed"):
+        first.finalize(pages_df)
+
+    # fresh process: resume picks up the markers
+    resumed = indexer.ResumableIndexer(spark, cat, n_chunks=4)
+    assert resumed.done_chunks() == {0, 1}
+    snaps_before = len(cat.snapshots(resumed.PAIRS_TABLE))
+    final = resumed.run(pages_df)
+    # only the two missing chunks committed — done ones were not redone
+    assert len(cat.snapshots(resumed.PAIRS_TABLE)) == snaps_before + 2
+    assert resumed.done_chunks() == {0, 1, 2, 3}
+
+    got = {r["word"]: (tuple(r["urls"]), r["df"]) for r in final.collect()}
+    want = {
+        r["word"]: (tuple(r["urls"]), r["df"])
+        for r in indexer.build_index(pages_df).collect()
+    }
+    assert got == want
+    # finalize is idempotent after completion
+    again = resumed.finalize(pages_df)
+    assert again.count() == len(want)
+
+
 def test_pagerank_closed_form(spark):
     """4-node graph with a dangling node; compare to a numpy power
     iteration implementing the reference update rule exactly."""
@@ -116,6 +161,45 @@ def test_pagerank_closed_form(spark):
     for v in nodes:
         assert ranks[v] == pytest.approx(rank[v], abs=1e-9)
     assert sum(ranks.values()) == pytest.approx(1.0, abs=0.01)
+
+
+def test_pagerank_iteration_resume(spark, tmp_path_factory):
+    """P-resume (pt-pagerank-progress analogue): a run killed mid-way
+    restarts from the last committed iteration and converges to exactly
+    the uninterrupted run's ranks."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog import (
+        Catalog,
+    )
+
+    edges = {"a": ["b", "c"], "b": ["c"], "c": ["a"], "d": []}
+    graph = spark.createDataFrame(
+        [(s, None, None, ds) for s, ds in edges.items()],
+        "src string, title string, snippet string, dests array<string>",
+    )
+    want = {r["url"]: r["rank"] for r in pr.pagerank(graph).collect()}
+
+    cat = Catalog(str(tmp_path_factory.mktemp("prcat")))
+    # "crash" after 4 of 20 iterations (checkpoint at iteration 4)
+    pr.pagerank(graph, max_iter=4, catalog=cat, checkpoint_every=4)
+    snap = cat.current_snapshot("pagerank_ranks")
+    assert int(snap.properties["iteration"]) == 4
+    # fresh call resumes at iteration 4, not from 1/N
+    got = {
+        r["url"]: r["rank"]
+        for r in pr.pagerank(graph, catalog=cat, checkpoint_every=4).collect()
+    }
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # converged state is durable: a third call short-circuits via the
+    # residual property without iterating
+    final_snap = cat.current_snapshot("pagerank_ranks")
+    assert float(final_snap.properties["residual"]) < pr.CONVERGENCE
+    again = {
+        r["url"]: r["rank"]
+        for r in pr.pagerank(graph, catalog=cat).collect()
+    }
+    assert again == pytest.approx(got)
 
 
 def test_build_graph_matches_kernel(pages_df, pages_pd):
