@@ -72,3 +72,48 @@ def test_auto_resize_grows_and_rebuilds(spark):
     assert flags.where(~F.col("f")).count() == 0
     # and a second call at the same size is a no-op
     assert not bloom.ensure_capacity(seen)
+
+
+def test_crawler_capacity_planning(spark):
+    """expected_urls pre-sizes the shards (power-of-two bits, >=10
+    bits/key with 2x headroom) so a correctly-estimated crawl never
+    pauses a wave for a Bloom rebuild."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog import (
+        Catalog,
+    )
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.plans.crawl import (
+        SparkCrawler,
+    )
+    import tempfile
+
+    empty_resp = spark.createDataFrame(
+        [],
+        "url string, head_status int, location string, content_type string,"
+        " content_language string, body binary",
+    )
+    empty_robots = spark.createDataFrame([], "host string, status int, body string")
+    crawler = SparkCrawler(
+        spark,
+        Catalog(tempfile.mkdtemp(prefix="captest-")),
+        empty_resp,
+        empty_robots,
+        n_bloom_shards=16,
+        expected_urls=1_000_000,
+    )
+    total_bits = crawler.bloom.m * crawler.bloom.n_shards
+    assert total_bits >= 2 * BITS_PER_KEY * 1_000_000
+    assert crawler.bloom.m & (crawler.bloom.m - 1) == 0
+    # pre-sized: ensure_capacity on a ledger within the estimate is a no-op
+    rows = [(f"h{i:05d}", f"host{i % 11}.test") for i in range(5000)]
+    seen = spark.createDataFrame(rows, "url_hash string, host string")
+    crawler.bloom.build_from_seen(seen)
+    assert not crawler.bloom.ensure_capacity(seen)
+    # default (no estimate) stays at the small bootstrap size
+    small = SparkCrawler(
+        spark,
+        Catalog(tempfile.mkdtemp(prefix="captest2-")),
+        empty_resp,
+        empty_robots,
+        n_bloom_shards=16,
+    )
+    assert small.bloom.m == 1 << 17
