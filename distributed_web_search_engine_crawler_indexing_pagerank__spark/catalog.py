@@ -36,7 +36,12 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["Catalog", "Snapshot", "CommitConflict"]
+__all__ = ["Catalog", "Snapshot", "CommitConflict", "STALE_GUARD_SECONDS"]
+
+# A live writer holds a commit guard only between the O_EXCL claim and
+# the manifest os.replace (no IO in between); anything older than this
+# with no committed snapshot is a crash leftover.
+STALE_GUARD_SECONDS = 10.0
 
 
 class CommitConflict(RuntimeError):
@@ -147,28 +152,51 @@ class Catalog:
         manifest = self._load_manifest(name)
         parent = self.current_snapshot(name)
         snap_id = (max((s["snapshot_id"] for s in manifest["snapshots"]), default=0)) + 1
-        # CAS guard: exactly one writer may claim snap_id — an O_EXCL
-        # marker makes the claim atomic, so a concurrent writer that
-        # loaded the same parent fails HERE (before writing data under a
-        # colliding dir name) instead of silently overwriting the other's
-        # snapshot at manifest-replace time.
         os.makedirs(self._table_dir(name), exist_ok=True)
-        guard = os.path.join(self._table_dir(name), f".commit-{snap_id:06d}")
-        try:
-            os.close(os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
-        except FileExistsError:
-            raise CommitConflict(
-                f"table {name!r}: snapshot {snap_id} already claimed by a "
-                "concurrent writer — reload and retry"
-            ) from None
+        # Data first, guard last: the expensive parquet write happens
+        # BEFORE the CAS claim, under a writer-unique dir name (no
+        # collision between racing writers), so a crash mid-write leaves
+        # only an orphan data dir (vacuumed later) — never a stale guard
+        # that blocks resume. The O_EXCL guard is claimed immediately
+        # before the manifest replace, shrinking the stale-guard window
+        # from the whole data write to one os.replace.
         dirs = list(staged_dirs or [])
         if df is not None:
-            data_dir = os.path.join(self._table_dir(name), f"data-{snap_id:06d}")
+            data_dir = os.path.join(
+                self._table_dir(name), f"data-{snap_id:06d}-{uuid.uuid4().hex[:8]}"
+            )
             writer = df.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(data_dir)
             dirs.append(data_dir)
+        # CAS guard: exactly one writer may claim snap_id — an O_EXCL
+        # marker makes the claim atomic; a concurrent writer that loaded
+        # the same parent fails HERE instead of silently replacing the
+        # winner's snapshot at manifest-replace time. A guard whose id is
+        # uncommitted AND old (crash between claim and replace — a
+        # microseconds-wide window, so age is a safe tell vs a live
+        # claimant) is reclaimed so a restarted run can re-commit.
+        guard = os.path.join(self._table_dir(name), f".commit-{snap_id:06d}")
+        try:
+            os.close(os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            committed = {s["snapshot_id"] for s in manifest["snapshots"]}
+            try:
+                stale = (
+                    snap_id not in committed
+                    and time.time() - os.path.getmtime(guard) > STALE_GUARD_SECONDS
+                )
+            except OSError:
+                stale = False
+            if not stale:
+                raise CommitConflict(
+                    f"table {name!r}: snapshot {snap_id} already claimed by a "
+                    "concurrent writer — reload and retry"
+                ) from None
+            # orphan guard from a crashed writer: take over its claim
+            # (the manifest was never updated, so no snapshot is lost)
+            os.utime(guard)
         if mode == "append" and parent is not None:
             dirs = parent.data_dirs + dirs
         snap = Snapshot(

@@ -52,19 +52,40 @@ def tokens_col(col: Column) -> Column:
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Ensure at least ``min_parts`` (default: cluster parallelism)
-    partitions before a CPU-heavy per-row kernel.
+    scan tasks before a CPU-heavy per-row kernel.
 
-    Parquet scans parallelize by row group; a small single-row-group file
-    is a one-task scan, which serializes every downstream explode/hash
-    regardless of cluster size. At real scale inputs carry plenty of row
-    groups and this is a no-op (checked from the plan, no job runs); it
-    only repartitions when the scan genuinely under-splits — exactly the
-    case where the shuffled bytes are small."""
-    sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    Parquet scans split by file and by ``files.maxPartitionBytes``; a
+    tiny single-file input is a one-task scan, which serializes every
+    downstream explode/hash regardless of cluster size. The split count
+    is ESTIMATED from the leaf relations' file list (``df.inputFiles()``
+    — logical-plan metadata, no job, no ``df.rdd`` physical-planning /
+    AQE finalization, which could execute upstream stages). Derived
+    (non-scan-rooted) inputs report no files and pass through untouched:
+    they come out of shuffles already at ``shuffle.partitions``
+    parallelism. At real scale scans carry plenty of splits and this is
+    a no-op; it only repartitions when the scan genuinely under-splits —
+    exactly the case where the shuffled bytes are small."""
+    import os
+
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if not files:
+        return df
+    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    splits = 0
+    for f in files:
+        path = f[len("file:"):] if f.startswith("file:") else f
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            # remote / unstat-able storage: count the file as one split
+            # (a lower bound — under-splitting there is the store's job)
+            size = 0
+        splits += max(1, -(-size // max_split))
+        if splits >= target:
+            return df
+    return df.repartition(target)
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -167,6 +167,10 @@ class SparkCrawler:
         # the profiler's map of where the per-wave fixed cost lives.
         self.section_secs: dict[str, float] = {}
         self._t_last = 0.0
+        # running totals mirrored into snapshot properties so run()'s
+        # stop conditions never launch count jobs (north_rule counters)
+        self._pages_total = 0
+        self._last_frontier_n: int | None = None
 
     def _tick(self, section: str) -> None:
         now = time.time()
@@ -189,7 +193,9 @@ class SparkCrawler:
             seen_hashes.add(h)
             rows.append((url, h, extract_host_key(url), 0, -1, "", i))
         frontier = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
-        self._commit_frontier(frontier, wave=-1)
+        self._commit_frontier(frontier, wave=-1, counters={"frontier_n": len(rows)})
+        self._last_frontier_n = len(rows)
+        self._pages_total = 0
         empty = self.spark.createDataFrame([], "url_hash string, url string")
         self.cat.write("seen", empty, properties={"wave": -1})
         # hydrate seed hosts up front — the hosts table must cover every
@@ -205,7 +211,7 @@ class SparkCrawler:
                 "content_type string, page binary, length int, depth int, wave int, "
                 "outlinks array<string>",
             ),
-            properties={"wave": -1, "pages": 0},
+            properties={"wave": -1, "pages": 0, "total_pages": 0},
         )
         self.cat.write(
             "trace",
@@ -225,6 +231,18 @@ class SparkCrawler:
         if snap is None:
             raise RuntimeError("no frontier snapshot to resume from")
         self.wave = int(snap.properties["wave"]) + 1
+        crawl_snap = self.cat.current_snapshot("crawl")
+        props = crawl_snap.properties if crawl_snap else {}
+        self._pages_total = int(
+            props["total_pages"]
+            if "total_pages" in props
+            else self.cat.read(self.spark, "crawl").count()
+        )
+        self._last_frontier_n = (
+            int(snap.properties["frontier_n"])
+            if "frontier_n" in snap.properties
+            else None
+        )
         seen = self.cat.read(self.spark, "seen")
         seen_h = seen.withColumn("host", host_key_col(F.col("url")))
         self.bloom.build_from_seen(seen_h)
@@ -576,11 +594,15 @@ class SparkCrawler:
 
         self._tick("commit")
 
+        self._pages_total += int(fetched["n"])
+        self._last_frontier_n = int(deferred["n"])
         counters = {
             "seen_by_shard": seen_by_shard,
             "fetched_by_shard": _metrics_to_shards(fetched, n_shards),
             "deferred_by_shard": _metrics_to_shards(deferred, n_shards),
             "pages": int(fetched["n"]),
+            "total_pages": self._pages_total,
+            "frontier_n": self._last_frontier_n,
         }
         if durable:
             # patch the full per-shard counters into the just-committed
@@ -669,7 +691,10 @@ class SparkCrawler:
         buffered appends (no-op when already durable)."""
         if not self._mem and not self._buf_crawl and not self._buf_seen_pdfs:
             return
-        props = {"wave": self.wave - 1, "flushed": True, "waves": self._wave_props}
+        props = {"wave": self.wave - 1, "flushed": True, "waves": self._wave_props,
+                 "total_pages": self._pages_total}
+        if self._last_frontier_n is not None:
+            props["frontier_n"] = self._last_frontier_n
         if self._buf_crawl:
             self.cat.write(
                 "crawl", None, mode="append", properties=props,
@@ -698,16 +723,35 @@ class SparkCrawler:
 
     # -- driver loop -------------------------------------------------------------
     def total_pages(self) -> int:
+        """Cumulative saved pages — from snapshot properties (the running
+        counter every commit records), falling back to a count job only
+        for snapshots written before the counter existed."""
+        snap = self.cat.current_snapshot("crawl")
+        if snap is not None and "total_pages" in snap.properties:
+            return int(snap.properties["total_pages"])
         return self.cat.read(self.spark, "crawl").count()
+
+    def frontier_size(self) -> int:
+        """Frontier row count from snapshot properties (same contract)."""
+        if self._last_frontier_n is not None:
+            return self._last_frontier_n
+        snap = self.cat.current_snapshot("frontier")
+        if snap is not None and "frontier_n" in snap.properties:
+            return int(snap.properties["frontier_n"])
+        return self.cat.read(self.spark, "frontier").count()
 
     def run(self, max_waves: int | None = None, verbose: bool = False) -> int:
         """Micro-iterate until target pages, empty frontier, or wave cap;
         always leaves durable state (flushes fast-path buffers at exit).
-        Returns the number of waves executed in this call."""
+        Returns the number of waves executed in this call.
+
+        Stop conditions read the property-backed counters — zero Spark
+        jobs before the first wave (the r2 profiler showed the two guard
+        count jobs as a fixed per-run() cost)."""
         limit = max_waves if max_waves is not None else self.cfg.max_waves
         executed = 0
         pages = self.total_pages()
-        frontier_n = self.cat.read(self.spark, "frontier").limit(1).count()
+        frontier_n = self.frontier_size()
         while self.wave < limit and pages < self.cfg.target_pages and frontier_n > 0:
             stats = self.step()
             executed += 1

@@ -36,22 +36,33 @@ def get_spark(
     YARN/k8s cluster via ``--master``) the deployment's master wins:
     hard-coding ``local[N]`` here would silently collapse a cluster run
     onto the driver. An explicit ``cores=`` argument still forces local.
+
+    spark-submit detection: a submitted python app talks to the JVM that
+    spark-submit already launched, through the Py4J gateway whose
+    address PythonRunner exports as ``PYSPARK_GATEWAY_PORT`` /
+    ``PYSPARK_GATEWAY_SECRET`` — the only env contract that actually
+    fires on the spark-submit path (``PYSPARK_SUBMIT_ARGS`` is set by
+    the interactive ``pyspark`` launcher, NOT by submitted apps). When
+    the gateway exists, that JVM's conf already carries the submitted
+    ``--master``, so we simply don't call ``.master()`` at all.
     """
-    submitted_master = None
+    under_submit = (
+        "PYSPARK_GATEWAY_PORT" in os.environ
+        or "PYSPARK_GATEWAY_SECRET" in os.environ
+    )
     if cores is None:
-        # spark-submit passes its parsed CLI through PYSPARK_SUBMIT_ARGS
-        toks = os.environ.get("PYSPARK_SUBMIT_ARGS", "").split()
-        if "--master" in toks[:-1]:
-            submitted_master = toks[toks.index("--master") + 1]
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    else:
+        under_submit = False  # explicit cores= forces local[N]
     if shuffle_partitions is None:
         shuffle_partitions = int(
             os.environ.get("SPARK_GRAFT_SHUFFLE", DEFAULT_SHUFFLE_PARTITIONS)
         )
+    builder = SparkSession.builder.appName(app_name)
+    if not under_submit:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(submitted_master or f"local[{cores}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -95,3 +95,43 @@ def test_concurrent_writer_cas_conflict(spark, cat):
         if e.startswith(".commit-") and e != os.path.basename(inflight)
     ]
     assert consumed == []
+
+
+def test_crashed_writer_guard_reclaimed(spark, cat):
+    """A guard orphaned by a crash between the CAS claim and the
+    manifest replace (its id never committed, older than the live-claim
+    window) must not block a restarted run — the resume re-commits the
+    interrupted snapshot instead of raising CommitConflict forever
+    (the ResumableIndexer / PageRank-checkpoint crash-resume path)."""
+    import time as _time
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog import (
+        STALE_GUARD_SECONDS,
+    )
+
+    cat.write("t", _df(spark, [1]))
+    nxt = cat.current_snapshot("t").snapshot_id + 1
+    guard = os.path.join(cat._table_dir("t"), f".commit-{nxt:06d}")
+    open(guard, "w").close()
+    old = _time.time() - (STALE_GUARD_SECONDS + 5)
+    os.utime(guard, (old, old))
+    # restarted run re-commits straight through the orphan claim
+    cat.write("t", _df(spark, [2]))
+    assert [r["x"] for r in cat.read(spark, "t").collect()] == [2]
+
+
+def test_crash_mid_data_write_leaves_no_guard(spark, cat):
+    """The expensive data write happens BEFORE the CAS claim: a writer
+    dying mid-parquet-write leaves only an orphan data dir (reclaimed by
+    vacuum), never a guard — so resume is never blocked by it."""
+    cat.write("t", _df(spark, [1]))
+    # simulate the crash leftover: an orphan data dir for the next id
+    orphan = os.path.join(cat._table_dir("t"), "data-000002-deadbeef")
+    _df(spark, [99]).write.mode("overwrite").parquet(orphan)
+    assert not any(
+        e.startswith(".commit-000002") for e in os.listdir(cat._table_dir("t"))
+    )
+    cat.write("t", _df(spark, [2]))  # resume commits fine
+    assert [r["x"] for r in cat.read(spark, "t").collect()] == [2]
+    cat.vacuum("t")
+    assert not os.path.exists(orphan)
