@@ -311,27 +311,57 @@ def simhash_pairs(
 def embedding_near_dups(
     emb: DataFrame,
     min_cos: float = 0.2,
-    bits: int = 4,
+    bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """→ (vec_a, vec_b, cos): pairs with cosine ≥ threshold, candidates
     bounded by equal sign-pattern buckets (near-identical vectors share
     the sign pattern of their leading dims with high probability — the
     same candidate-pruning shape as SimHash, over dense embeddings).
     At scale the bucket equi-join replaces the quadratic all-pairs scan;
-    raising ``bits`` tightens candidates geometrically."""
-    from .similarity import cosine, sign_bucket
+    raising ``bits`` tightens candidates geometrically, and the salted
+    occupancy bound (``similarity.bucket_sizes``) caps any single join
+    group at ~``max_bucket`` rows even when the sign pattern degenerates
+    (left fans over the salt range, right is hashed to one salt, and
+    ``vec_a < vec_b`` keeps each unordered pair exactly once —
+    result-invariant, plan-bounded)."""
+    from .similarity import _dot, _norm, bucket_sizes, sign_bucket
 
-    b = emb.select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), bits).alias("bucket")
+    b = spread(emb).select(
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        _norm(F.col(vec_col)).alias("_n"),  # once per vector
     )
-    left = b.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"), "bucket")
-    right = b.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"), "bucket")
+    sizes = bucket_sizes(b, max_bucket)
+    left = (
+        b.join(F.broadcast(sizes), "bucket")
+        .select(
+            F.col(id_col).alias("vec_a"),
+            F.col(vec_col).alias("va"),
+            F.col("_n").alias("_na"),
+            "bucket",
+            F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)).alias("_salt"),
+        )
+    )
+    right = b.join(F.broadcast(sizes), "bucket").select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.col("_n").alias("_nb"),
+        "bucket",
+        F.pmod(F.hash(F.col(id_col)), F.col("_nsub")).alias("_salt"),
+    )
     return (
-        left.join(right, "bucket")
+        left.join(right, ["bucket", "_salt"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6
+            ),
+        )
         .where(F.col("cos") >= min_cos)
         .select("vec_a", "vec_b", "cos")
     )

@@ -17,8 +17,11 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .textops import spread
+
 __all__ = [
     "IVF_SIGN_BITS",
+    "LITERAL_CODEBOOK_MAX",
     "cosine",
     "cosine_topk",
     "ivf_ann_topk",
@@ -26,7 +29,16 @@ __all__ = [
     "ivf_kmeans_topk",
 ]
 
-IVF_SIGN_BITS = 4
+# 2^8 = 256 sign buckets: the self-join candidate set is ~N²/256 before
+# the occupancy salting bounds any single join group.
+IVF_SIGN_BITS = 8
+
+# Codebooks up to this size are planned as per-centroid literal
+# expressions (zero shuffles — the whole probe is map-side); bigger
+# codebooks switch to a broadcast centroid-table join so the plan stays
+# O(1) in n_centroids (a 4k×128 codebook as literals is ~500k expression
+# nodes — the r2 plan-blowup finding).
+LITERAL_CODEBOOK_MAX = 64
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -42,8 +54,20 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity in double precision."""
+    """Cosine similarity in double precision. The pair-join operators
+    below inline this with the two norms HOISTED to the per-vector
+    inputs (computed once per vector, not once per candidate pair) —
+    same values, 3× less per-pair higher-order-function work. (An
+    unrolled per-dimension codegen variant was measured SLOWER end to
+    end: 64-term expressions push janino compile time and ~1MB task
+    binaries past any per-row win.)"""
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def vec_dim(emb: DataFrame, vec_col: str = "embedding") -> int:
+    """Element count of the (fixed-width) embedding column — arrays
+    don't carry length in the schema, so peek at one row."""
+    return len(emb.select(vec_col).first()[0])
 
 
 def cosine_topk(
@@ -55,14 +79,25 @@ def cosine_topk(
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cos, rank): exact brute-force top-k per
     query vector. ``queries`` has (query_id, query_vec); it is the small
-    broadcast side of the cross join."""
-    pairs = emb.crossJoin(F.broadcast(queries)).where(
+    broadcast side of the cross join. Norms are hoisted out of the pair
+    loop — computed once per vector, not once per pair.
+
+    ``spread`` matters here: every corpus row fans out into |queries|
+    scored pairs, so a single-split scan would run the whole pair loop
+    in ONE task (the shuffle/scan byte counts that drive AQE and split
+    planning cannot see the CPU fan-out)."""
+    embn = spread(emb).withColumn("_nn", _norm(F.col(vec_col)))
+    qn = queries.withColumn("_qn", _norm(F.col("query_vec")))
+    pairs = embn.crossJoin(F.broadcast(qn)).where(
         F.col(id_col) != F.col("query_id")
     )
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        F.round(cosine(F.col("query_vec"), F.col(vec_col)), 6).alias("cos"),
+        F.round(
+            _dot(F.col("query_vec"), F.col(vec_col)) / (F.col("_qn") * F.col("_nn")),
+            6,
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -82,34 +117,70 @@ def sign_bucket(vec: Column, bits: int = IVF_SIGN_BITS) -> Column:
     )
 
 
+def bucket_sizes(bucketed: DataFrame, max_bucket: int) -> DataFrame:
+    """→ (bucket, _nsub): sub-bucket count so no join group exceeds
+    ~``max_bucket`` rows. The occupancy bound every bucketed self-join
+    here shares: the index side is hashed into one of ``_nsub`` salts,
+    the probe side fans out over the full salt range — result-invariant
+    (a probe still meets every index row of its bucket exactly once),
+    but the biggest join group shrinks from the hottest bucket's full
+    occupancy to ~max_bucket. AQE skew-join would split these at
+    runtime too; salting makes the bound a property of the plan."""
+    return bucketed.groupBy("bucket").agg(
+        F.ceil(F.count("*") / F.lit(max_bucket)).cast("int").alias("_nsub")
+    )
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bits: int = IVF_SIGN_BITS,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """→ (vec_id, neighbor_id, cos, rank): approximate top-k for EVERY
     vector, searching only its own sign bucket (bucket equi-join instead
-    of a quadratic cross join)."""
-    b = emb.select(
+    of a quadratic cross join). Join groups are occupancy-bounded by
+    salting (``bucket_sizes``) — a degenerate sign pattern (e.g. an
+    all-positive embedding model) can no longer collapse the self-join
+    into one quadratic group. The input is ``spread`` first — pair
+    scoring is CPU-bound and byte-count-invisible to AQE, so the
+    probe-side stage must start with real parallelism."""
+    b = spread(emb).select(
         F.col(id_col),
         F.col(vec_col),
         sign_bucket(F.col(vec_col), bits).alias("bucket"),
+        _norm(F.col(vec_col)).alias("_n"),  # once per vector
     )
-    left = b.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"), "bucket"
+    sizes = bucket_sizes(b, max_bucket)
+    right = b.join(F.broadcast(sizes), "bucket").select(
+        "bucket",
+        F.pmod(F.hash(F.col(id_col)), F.col("_nsub")).alias("_salt"),
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nv"),
+        F.col("_n").alias("_nn"),
     )
-    right = b.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"), "bucket"
+    left = (
+        b.join(F.broadcast(sizes), "bucket")
+        .select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.col("_n").alias("_qn"),
+            "bucket",
+            F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)).alias("_salt"),
+        )
     )
     scored = (
-        left.join(right, "bucket")
+        left.join(right, ["bucket", "_salt"])
         .where(F.col("qid") != F.col("neighbor_id"))
         .select(
             F.col("qid").alias("vec_id"),
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos"),
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -132,10 +203,73 @@ def _sq_dist_to(vec: Column, centroid: list[float]) -> Column:
     )
 
 
-def _nearest(vec: Column, centroids: list[list[float]]) -> Column:
-    """0-based index of the nearest centroid (ties → lowest index)."""
-    dists = F.array(*[_sq_dist_to(vec, c) for c in centroids])
-    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+def _centroid_candidates(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """→ (id, vec, cand: array<struct<d: double, b: int>>): each row's
+    ``nprobe`` nearest centroids, ascending by (distance, index).
+
+    Two physically different, numerically identical plans:
+
+    - **literal path** (≤ LITERAL_CODEBOOK_MAX centroids): the codebook
+      is embedded as column expressions — the probe is pure map-side
+      whole-stage codegen, zero shuffles.
+    - **broadcast-join path** (bigger codebooks): the codebook is a
+      broadcast DataFrame; emb ⨯ broadcast(centroids) scores every
+      (vector, centroid) pair, and a groupBy(id) with map-side partial
+      aggregation collapses the C rows per vector back to one BEFORE the
+      exchange (each vector's C copies live in one partition, so the
+      shuffle moves ~|emb| rows). Plan size is O(1) in n_centroids —
+      a 4k-centroid codebook plans instantly.
+
+    Both paths compute (x − c)² folded in index order in double
+    precision, so results are bit-identical — asserted in tests."""
+    nprobe = min(nprobe, len(centroids))
+    if len(centroids) <= LITERAL_CODEBOOK_MAX:
+        cand = F.slice(
+            F.array_sort(
+                F.array(
+                    *[
+                        F.struct(
+                            _sq_dist_to(F.col(vec_col), c).alias("d"),
+                            F.lit(i).alias("b"),
+                        )
+                        for i, c in enumerate(centroids)
+                    ]
+                )
+            ),
+            1,
+            nprobe,
+        )
+        return emb.select(F.col(id_col), F.col(vec_col), cand.alias("cand"))
+
+    spark = emb.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "b int, cvec array<double>",
+    )
+    d = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.struct(d.alias("d"), F.col("b")).alias("_s"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.first(F.col(vec_col)).alias(vec_col),
+        F.slice(F.array_sort(F.collect_list("_s")), 1, nprobe).alias("cand"),
+    )
 
 
 def kmeans_centroids(
@@ -163,8 +297,8 @@ def kmeans_centroids(
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init]
     for _ in range(iters):
-        assigned = emb.select(
-            _nearest(F.col(vec_col), centroids).alias("_c"), F.col(vec_col)
+        assigned = _centroid_candidates(emb, centroids, 1, id_col, vec_col).select(
+            F.col("cand")[0]["b"].alias("_c"), F.col(vec_col)
         )
         rows = (
             assigned.groupBy("_c")
@@ -208,49 +342,40 @@ def ivf_kmeans_topk(
         centroids = kmeans_centroids(emb, n_centroids, iters, id_col, vec_col)
     n_centroids = len(centroids)
 
-    indexed = emb.select(
+    # ONE candidate pass serves both sides: cand[0] is the assignment
+    # (index side), the whole array is the probe list. The codebook is
+    # literal expressions for small C, a broadcast DataFrame join for
+    # big C (see _centroid_candidates).
+    cand = _centroid_candidates(
+        spread(emb), centroids, min(nprobe, n_centroids), id_col, vec_col
+    )
+    indexed = cand.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("nv"),
-        _nearest(F.col(vec_col), centroids).alias("bucket"),
+        F.col("cand")[0]["b"].alias("bucket"),
+        _norm(F.col(vec_col)).alias("_nn"),  # once per vector
     )
-    sizes = indexed.groupBy("bucket").agg(
-        F.ceil(F.count("*") / F.lit(max_bucket)).cast("int").alias("_nsub")
-    )
+    sizes = bucket_sizes(indexed, max_bucket)
     right = indexed.join(F.broadcast(sizes), "bucket").select(
         "bucket",
         F.pmod(F.hash("neighbor_id"), F.col("_nsub")).alias("_salt"),
         "neighbor_id",
         "nv",
+        "_nn",
     )
 
     # probe side: nprobe nearest centroids per query, fanned over salts
-    probes = F.slice(
-        F.transform(
-            F.array_sort(
-                F.array(
-                    *[
-                        F.struct(
-                            _sq_dist_to(F.col(vec_col), c).alias("d"),
-                            F.lit(i).alias("b"),
-                        )
-                        for i, c in enumerate(centroids)
-                    ]
-                )
-            ),
-            lambda s: s["b"],
-        ),
-        1,
-        min(nprobe, n_centroids),
-    )
     left = (
-        emb.select(
+        cand.select(
             F.col(id_col).alias("qid"),
             F.col(vec_col).alias("qv"),
-            F.explode(probes).alias("bucket"),
+            _norm(F.col(vec_col)).alias("_qn"),
+            F.explode(F.transform(F.col("cand"), lambda s: s["b"])).alias("bucket"),
         )
         .join(F.broadcast(sizes), "bucket")
         .select(
-            "qid", "qv", "bucket", F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)).alias("_salt")
+            "qid", "qv", "_qn", "bucket",
+            F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)).alias("_salt"),
         )
     )
 
@@ -260,7 +385,10 @@ def ivf_kmeans_topk(
         .select(
             F.col("qid").alias("vec_id"),
             "neighbor_id",
-            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos"),
+            F.round(
+                _dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")),
+                6,
+            ).alias("cos"),
         )
         # a vector can meet the same neighbor through at most one
         # (bucket, salt) pair — buckets partition the index — so no dedup

@@ -902,7 +902,7 @@ def q_simhash(spark, sf_dir):
 
 
 EMBED_NEARDUP_MIN_COS = 0.2
-EMBED_NEARDUP_BITS = 4
+EMBED_NEARDUP_BITS = 8
 
 
 def q_embed_neardup(spark, sf_dir):
@@ -1004,15 +1004,81 @@ def q_ivf_ann(spark, sf_dir):
     return similarity.ivf_ann_topk(_t(spark, sf_dir, "embeddings"), k=3)
 
 
+IVF_KM_K = 5
+IVF_KM_NPROBE = 3
+IVF_KM_DIM = 64
+IVF_KM_N_CENTROIDS = 8
+
+# Fixed codebook for the oracle-checked registry entry: exact dyadic
+# constants (k/32 ∈ [-9/32, 9/32], the embedding fixtures' value range)
+# injected into BOTH engines, so assignment + nprobe + top-k is pure SQL
+# — the PageRank-CTE pattern applied to IVF. The *training* loop
+# (kmeans_centroids) stays anchored by tests/test_similarity_kmeans.py's
+# exhaustive-probe ≡ brute-force proof; fixing the codebook here removes
+# the one iterative step that kept this row oracle-less in r2.
+IVF_KM_CENTROIDS = [
+    [((i * 37 + d * 11) % 19 - 9) / 32.0 for d in range(IVF_KM_DIM)]
+    for i in range(IVF_KM_N_CENTROIDS)
+]
+
+
 def q_ivf_kmeans(spark, sf_dir):
-    """IVF ANN with a LEARNED coarse quantizer: deterministic distributed
-    k-means codebook, nprobe>1 multi-cell probe, salted inverted lists
-    bounding bucket occupancy. No SQL oracle (iterative training loop);
-    the exactness anchor — exhaustive probe ≡ brute-force cosine_topk —
-    and the recall gate live in tests/test_similarity_kmeans.py."""
+    """IVF ANN over a fixed k-means-style codebook: nearest-centroid
+    inverted lists, nprobe multi-cell probe, salted occupancy bound
+    (result-invariant), exact SQL oracle via per-centroid distance
+    expressions."""
     return similarity.ivf_kmeans_topk(
-        _t(spark, sf_dir, "embeddings"), k=5, n_centroids=8, nprobe=3, iters=3
+        _t(spark, sf_dir, "embeddings"),
+        k=IVF_KM_K,
+        nprobe=IVF_KM_NPROBE,
+        centroids=IVF_KM_CENTROIDS,
     )
+
+
+def _sql_ivf_kmeans() -> str:
+    """Mirror of ivf_kmeans_topk with the fixed codebook: distances are
+    unrolled per centroid with addition in index order (identical FP
+    fold to Spark's F.aggregate), assignment = rank 1 by (dist, cid),
+    probes = rank ≤ nprobe — ties broken exactly like the struct sort."""
+
+    def dist_expr(c: list[float]) -> str:
+        return " + ".join(
+            f"(embedding[{d + 1}]::DOUBLE - ('{c[d]!r}'::DOUBLE)) * "
+            f"(embedding[{d + 1}]::DOUBLE - ('{c[d]!r}'::DOUBLE))"
+            for d in range(len(c))
+        )
+
+    arms = "\n  UNION ALL ".join(
+        f"SELECT vec_id, embedding, {i} AS cid, {dist_expr(c)} AS dist FROM embeddings"
+        for i, c in enumerate(IVF_KM_CENTROIDS)
+    )
+    return f"""
+WITH dl AS (
+  {arms}
+),
+ranked AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rk
+  FROM dl
+),
+idx AS (SELECT vec_id AS neighbor_id, embedding AS nv, cid AS bucket FROM ranked WHERE rk = 1),
+probes AS (SELECT vec_id AS qid, embedding AS qv, cid AS bucket FROM ranked WHERE rk <= {IVF_KM_NPROBE}),
+scored AS (
+  SELECT qid AS vec_id, neighbor_id,
+         round(
+           list_dot_product(qv::DOUBLE[], nv::DOUBLE[]) /
+           (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[])) *
+            sqrt(list_dot_product(nv::DOUBLE[], nv::DOUBLE[]))), 6) AS cos
+  FROM probes JOIN idx USING (bucket) WHERE qid <> neighbor_id
+)
+SELECT vec_id, neighbor_id, cos, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {IVF_KM_K}
+"""
+
+
+SQL_IVF_KMEANS = _sql_ivf_kmeans()
 
 
 _BUCKET_SQL = " + ".join(
@@ -1207,7 +1273,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     # similarity
     "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "q_ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
-    "q_ivf_kmeans": (q_ivf_kmeans, None),  # iterative training — pytest anchor
+    "q_ivf_kmeans": (q_ivf_kmeans, SQL_IVF_KMEANS),
     # formerly rows-only — now with exact cross-engine oracles
     "q_sample": (q_sample, SQL_SAMPLE),
     "q_pagerank_docs": (q_pagerank_docs, SQL_PAGERANK_DOCS),
