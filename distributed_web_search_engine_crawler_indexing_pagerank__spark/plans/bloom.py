@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
-__all__ = ["BloomShards", "shard_of_host"]
+__all__ = ["BloomShards", "BloomStore", "shard_of_host"]
 
 _K = 7  # hash functions ⇒ ~0.8% fp at 10 bits/key
 BITS_PER_KEY = 10
@@ -211,6 +211,257 @@ class BloomShards:
         flagged = candidates.withColumn(
             "_maybe", probe(F.col("url_hash"), shard)
         ).localCheckpoint(eager=True)
+        clean = flagged.where(~F.col("_maybe")).drop("_maybe")
+        maybe = flagged.where(F.col("_maybe")).drop("_maybe")
+        verified = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")
+        return clean.unionByName(verified)
+
+
+_BLOOM_ROW_SCHEMA = "shard int, m long, bitmap binary, n_keys long"
+
+
+class BloomStore:
+    """Catalog-backed sharded Bloom bitsets — probe AND update run
+    EXECUTOR-side; the driver never holds, broadcasts, or collects a
+    bitmap.
+
+    This is the 10^10-URL shape of the URL-seen filter (the reference's
+    distributed ``existsRow`` probe, ``src/kvs/KVSClient.java:516-524``,
+    where each KVS worker answers only for its own key range):
+
+    - **storage**: one catalog table (default ``bloom``), one row per
+      shard ``(shard, m, bitmap, n_keys)``, committed alongside each
+      durable crawl snapshot. At the north star (~12 GB of bitmaps over
+      thousands of shards) this is an ordinary partitioned table — no
+      12 GB broadcast to every executor, no driver-resident copy.
+    - **probe**: candidates are repartitioned by ``shard_of_host`` and
+      COGROUPED with the bitmap rows (``applyInPandas``): each task
+      deserializes exactly ONE shard's bitset, so probe memory is
+      O(m/8) per task regardless of n_shards. Asserted in tests.
+    - **pending additions**: seen-rows staged since the last durable
+      snapshot ride into the probe as extra ``(shard, url_hash)`` rows
+      unioned onto the bitmap side; the task ORs them into its local
+      copy before probing — zero false negatives across a fast-path
+      checkpoint interval, still with no driver round-trip.
+    - **update**: at each durable commit the interval's additions are
+      folded into their shards by the same cogroup shape and the table
+      is rewritten as a new snapshot (write volume = one pass over the
+      shard rows; dirty-only delta commits are a straightforward
+      refinement once the catalog is Iceberg with MERGE).
+
+    ``n_keys``/``m`` mirror :class:`BloomShards` so capacity planning
+    (``ensure_capacity`` — ≥ BITS_PER_KEY bits/key, power-of-two m,
+    2× headroom, exact rebuild from the seen ledger) works identically.
+    """
+
+    def __init__(
+        self,
+        catalog,
+        n_shards: int = 16,
+        bits_per_shard: int = 1 << 17,
+        table: str = "bloom",
+    ):
+        assert bits_per_shard & (bits_per_shard - 1) == 0, "m must be a power of 2"
+        self.cat = catalog
+        self.n_shards = n_shards
+        self.m = bits_per_shard
+        self.table = table
+        self.n_keys = 0
+
+    # -- table io ----------------------------------------------------------
+    def bitmaps_df(self, spark: SparkSession) -> DataFrame:
+        if self.cat.exists(self.table):
+            return self.cat.read(spark, self.table)
+        return spark.createDataFrame([], _BLOOM_ROW_SCHEMA)
+
+    def _commit(self, rows: DataFrame, properties: dict) -> None:
+        self.cat.write(
+            self.table,
+            rows,
+            properties={"m": self.m, "n_keys": self.n_keys, **properties},
+        )
+
+    # -- build / update ----------------------------------------------------
+    def build_from_seen(
+        self, seen: DataFrame, host_col: str = "host", properties: dict | None = None
+    ) -> None:
+        """Exact distributed rebuild from a (url_hash, host) DataFrame:
+        groupBy(shard).applyInPandas builds each bitset where its rows
+        live and the result is committed as a table — the driver moves
+        only the commit metadata."""
+        spark = seen.sparkSession
+        shard = shard_of_host(F.col(host_col), self.n_shards)
+        rows = seen.select(F.col("url_hash"), shard.alias("shard"))
+        m = self.m
+
+        def per_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            bm = np.zeros(m // 8, dtype=np.uint8)
+            _set_bits(bm, pdf["url_hash"].to_numpy())
+            return pd.DataFrame(
+                {
+                    "shard": [int(key[0])],
+                    "m": [m],
+                    "bitmap": [bm.tobytes()],
+                    "n_keys": [len(pdf)],
+                }
+            )
+
+        built = rows.groupBy("shard").applyInPandas(per_shard, _BLOOM_ROW_SCHEMA)
+        # count via the tiny (n_shards-row) result, not the big input
+        self.cat.write(self.table, built, properties=dict(properties or {}))
+        totals = self.bitmaps_df(spark).agg(F.sum("n_keys").alias("t")).first()
+        self.n_keys = int(totals["t"] or 0)
+        self.cat.update_properties(self.table, {"m": self.m, "n_keys": self.n_keys})
+
+    def fold_additions(
+        self,
+        additions: DataFrame,
+        host_col: str = "host",
+        properties: dict | None = None,
+    ) -> None:
+        """Fold (url_hash, host) additions into their shards executor-side
+        (cogroup: each task gets one shard's bitmap + its additions) and
+        commit the new shard rows. Shards without additions pass through
+        untouched; shards never seen before start from zeros."""
+        spark = additions.sparkSession
+        shard = shard_of_host(F.col(host_col), self.n_shards)
+        adds = additions.select(F.col("url_hash"), shard.alias("shard"))
+        right = self.bitmaps_df(spark)
+        m_default = self.m
+
+        def fold(key, adds_pdf: pd.DataFrame, bm_pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(bm_pdf):
+                bm = np.frombuffer(bm_pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
+                base = int(bm_pdf["n_keys"].iloc[0])
+            else:
+                bm = np.zeros(m_default // 8, dtype=np.uint8)
+                base = 0
+            if len(adds_pdf):
+                _set_bits(bm, adds_pdf["url_hash"].to_numpy())
+            return pd.DataFrame(
+                {
+                    "shard": [int(key[0])],
+                    "m": [len(bm) * 8],
+                    "bitmap": [bm.tobytes()],
+                    "n_keys": [base + len(adds_pdf)],
+                }
+            )
+
+        out = (
+            adds.groupBy("shard")
+            .cogroup(right.groupBy("shard"))
+            .applyInPandas(fold, _BLOOM_ROW_SCHEMA)
+        )
+        self._commit(out, dict(properties or {}))
+
+    def ensure_capacity(
+        self, seen: DataFrame, expected_new: int = 0, host_col: str = "host"
+    ) -> bool:
+        """Grow shards (power-of-two m, 2× headroom) and rebuild from the
+        ledger when bits/key would drop below BITS_PER_KEY. ``self.n_keys``
+        is the driver-tracked population (kept in sync from the crawl's
+        per-wave Observation counters + snapshot properties)."""
+        needed_bits = BITS_PER_KEY * (self.n_keys + expected_new)
+        if self.m * self.n_shards >= needed_bits:
+            return False
+        new_m = self.m
+        while new_m * self.n_shards < 2 * needed_bits:
+            new_m *= 2
+        self.m = new_m
+        self.build_from_seen(seen, host_col=host_col, properties={"grown": True})
+        return True
+
+    # -- probe -------------------------------------------------------------
+    def probe_flagged(
+        self,
+        candidates: DataFrame,
+        pending: DataFrame | None = None,
+        host_col: str = "host",
+    ) -> DataFrame:
+        """→ candidates + ``_maybe`` boolean (False ⇒ definitely new).
+        Candidates are shuffled by shard; each task sees one shard's
+        bitmap row (plus that shard's pending additions) and its
+        candidate rows — never another shard's bytes."""
+        spark = candidates.sparkSession
+        cand = candidates.withColumn(
+            "_shard", shard_of_host(F.col(host_col), self.n_shards)
+        )
+        right = self.bitmaps_df(spark).select(
+            "shard", "m", "bitmap", F.lit(None).cast("string").alias("url_hash")
+        )
+        if pending is not None:
+            pend = pending.select(
+                shard_of_host(F.col(host_col), self.n_shards).alias("shard"),
+                F.lit(None).cast("long").alias("m"),
+                F.lit(None).cast("binary").alias("bitmap"),
+                "url_hash",
+            )
+            right = right.unionByName(pend)
+        m_default = self.m
+        out_fields = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+        )
+        out_schema = f"{out_fields}, _maybe boolean"
+        cand_cols = [f.name for f in candidates.schema.fields]
+
+        def probe(key, cand_pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+            res = cand_pdf[cand_cols].copy()
+            if not len(cand_pdf):
+                res["_maybe"] = np.empty(0, dtype=bool)
+                return res
+            bm_rows = right_pdf[right_pdf["bitmap"].notna()] if len(right_pdf) else right_pdf
+            # the O(one-shard) guarantee: a probe task must never see a
+            # second shard's bytes (one bitmap row per shard by
+            # construction; violating it means the shard routing broke)
+            if len(bm_rows) > 1:
+                raise AssertionError(
+                    f"shard {int(key[0])}: {len(bm_rows)} bitmap rows in one "
+                    "probe task — shard routing must deliver exactly one"
+                )
+            if len(bm_rows):
+                bm = np.frombuffer(bm_rows["bitmap"].iloc[0], dtype=np.uint8)
+                m = int(bm_rows["m"].iloc[0])
+            else:
+                bm, m = None, m_default
+            pend = (
+                right_pdf[right_pdf["bitmap"].isna()]["url_hash"]
+                if len(right_pdf)
+                else []
+            )
+            if len(pend):
+                bm = np.zeros(m // 8, dtype=np.uint8) if bm is None else bm.copy()
+                _set_bits(bm, np.asarray(pend, dtype="U40"))
+            if bm is None:
+                res["_maybe"] = np.zeros(len(cand_pdf), dtype=bool)
+                return res
+            h1, h2 = _hash_pair(cand_pdf["url_hash"].to_numpy())
+            byte_idx, bit = _positions(h1, h2, m)
+            vals = bm[byte_idx]
+            res["_maybe"] = ((vals >> bit) & 1).all(axis=1)
+            return res
+
+        return (
+            cand.groupBy("_shard")
+            .cogroup(right.groupBy("shard"))
+            .applyInPandas(probe, out_schema)
+        )
+
+    def filter_unseen(
+        self,
+        spark: SparkSession,
+        candidates: DataFrame,
+        seen: DataFrame,
+        pending: DataFrame | None = None,
+    ) -> DataFrame:
+        """Candidates not in ``seen``: shard-local Bloom pre-pass + exact
+        left-anti join on the maybe-hits only. Zero false negatives by
+        construction (bitmaps cover the durable ledger, pending rows
+        cover the staged interval). Eagerly materialized for the same
+        reason as BloomShards.filter_unseen: the clean/maybe split scans
+        the flagged frame twice."""
+        flagged = self.probe_flagged(candidates, pending=pending).localCheckpoint(
+            eager=True
+        )
         clean = flagged.where(~F.col("_maybe")).drop("_maybe")
         maybe = flagged.where(F.col("_maybe")).drop("_maybe")
         verified = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")

@@ -30,8 +30,10 @@ pushdown/broadcast; AQE handles skew):
    JVM-side identity (functions.exprs) + redirect Locations; Bloom-shard
    pre-pass + exact anti-join vs seen; cap filter; priority-min merge
    into the frontier via ``groupBy(url_hash).min(struct(...))``.
-6. snapshot commit: frontier overwrite, seen/crawl/trace append, hosts
-   overwrite — each with wave id + per-host-shard counters
+6. snapshot commit: frontier overwrite, seen/crawl/trace append (seen
+   from per-wave staged dirs — never collected), hosts as an O(touched)
+   delta append with latest-wins reads, Bloom shard table folded
+   executor-side — each with wave id + per-host-shard counters
    (seen/fetched/deferred) in snapshot properties (north_rule lineage).
 
 Worker-pool discipline (measured, sandbox): a stage must never chain two
@@ -44,8 +46,10 @@ whole-stage-codegen column expressions.
 
 Scale notes (100 TB / 10^10 frontier): the frontier is hash-partitioned by
 host at write time so the per-host window never globally sorts; the seen
-ledger is append-only (never rewritten); Bloom shards keep the anti-join
-probe local; hot hosts can't skew the fetch stage because selection is
+ledger is append-only (never rewritten); the hosts table appends only
+touched rows per durable wave (merge-on-read + scheduled compaction);
+Bloom shards are a catalog table probed/updated where the candidates
+live, with per-task memory O(one shard); hot hosts can't skew the fetch stage because selection is
 ≤1 URL/host/wave by construction (the politeness invariant is also the
 skew bound — salting only matters for the *enqueue* stage, where AQE skew
 join handles the hot-host link fan-in).
@@ -55,9 +59,6 @@ from __future__ import annotations
 
 import time
 from dataclasses import asdict
-
-import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, Observation, SparkSession, Window, functions as F
 from pyspark.sql.types import (
@@ -80,7 +81,7 @@ from ..functions.udfs import (
 from ..javaport.hasher import ref_hash
 from ..javaport.urlnorm import extract_host_key, normalize_seed_url
 from ..oracle.simulator import CrawlConfig
-from .bloom import BloomShards, shard_of_host
+from .bloom import BloomStore, shard_of_host
 
 __all__ = ["SparkCrawler", "FRONTIER_SCHEMA", "PRIORITY_COLS"]
 
@@ -104,6 +105,11 @@ _HOSTS_SCHEMA = (
 )
 
 _REDIRECT_CODES = (301, 302, 303, 307, 308)
+
+# Rewrite the hosts table in full after this many incremental (delta)
+# commits — bounds the merge-on-read resolution at ~(1 + COMPACT_EVERY)×
+# the live host count while keeping per-commit write volume O(touched).
+HOSTS_COMPACT_EVERY = 8
 
 
 class SparkCrawler:
@@ -142,8 +148,12 @@ class SparkCrawler:
             need = 2 * BITS_PER_KEY * expected_urls // n_bloom_shards
             while bits_per_shard < need:
                 bits_per_shard *= 2
-        self.bloom = BloomShards(
-            n_shards=n_bloom_shards, bits_per_shard=bits_per_shard
+        # catalog-backed shard-routed Bloom: probes cogroup candidates
+        # with shard-local bitmap rows, updates fold additions into the
+        # shards executor-side — no all-shards broadcast, no per-wave
+        # driver collect (the r2 scale-killer).
+        self.bloom = BloomStore(
+            catalog, n_shards=n_bloom_shards, bits_per_shard=bits_per_shard
         )
         self.frontier_partitions = frontier_partitions
         self.robots_allows_udf = make_robots_allows_udf(strict=self.cfg.strict_robots)
@@ -158,7 +168,13 @@ class SparkCrawler:
         self._mem: dict[str, DataFrame] = {}
         self._buf_crawl: list[str] = []  # staged crawl data dirs
         self._buf_trace: list[DataFrame] = []
-        self._buf_seen_pdfs: list[pd.DataFrame] = []  # (url_hash, url) frames
+        self._buf_seen_dirs: list[str] = []  # staged seen data dirs
+        # per-wave dirty-host key frames (lazy, lean) — the hosts delta
+        # commit joins these against the current hosts state so each
+        # durable snapshot appends only O(touched) host rows.
+        self._dirty_hosts: list[DataFrame] = []
+        self._hosts_ver = 0  # monotonic hosts version (latest-wins reads)
+        self._hosts_commits_since_compact = 0
         # checkpointed proc frames kept alive while fast-path trace
         # projections reference them (released at the durable commit)
         self._keep: list[DataFrame] = []
@@ -202,7 +218,7 @@ class SparkCrawler:
         # frontier host (step() relies on this invariant).
         known = self.spark.createDataFrame([], _HOSTS_SCHEMA)
         seed_hosts = self._new_host_rows(frontier.select("host"), known.select("host"))
-        self.cat.write("hosts", seed_hosts, properties={"wave": -1})
+        self._write_hosts_full(seed_hosts, {"wave": -1})
         self.cat.write(
             "crawl",
             self.spark.createDataFrame(
@@ -225,8 +241,11 @@ class SparkCrawler:
 
     def resume(self) -> None:
         """Restart from the current snapshots (north_rule resumability):
-        wave counter from the frontier snapshot, Bloom shards rebuilt
-        exactly from the seen ledger."""
+        wave counter from the frontier snapshot; the Bloom shard table is
+        REUSED when its snapshot matches the frontier wave (no rebuild —
+        it is durable state now), else rebuilt exactly from the seen
+        ledger (e.g. a crash between the seen and bloom commits, or a
+        pre-BloomStore snapshot)."""
         snap = self.cat.current_snapshot("frontier")
         if snap is None:
             raise RuntimeError("no frontier snapshot to resume from")
@@ -243,12 +262,67 @@ class SparkCrawler:
             if "frontier_n" in snap.properties
             else None
         )
+        hosts_snap = self.cat.current_snapshot("hosts")
+        if hosts_snap is not None:
+            self._hosts_ver = int(hosts_snap.properties.get("ver", 0))
         seen = self.cat.read(self.spark, "seen")
         seen_h = seen.withColumn("host", host_key_col(F.col("url")))
-        self.bloom.build_from_seen(seen_h)
+        bloom_snap = (
+            self.cat.current_snapshot("bloom") if self.cat.exists("bloom") else None
+        )
+        if bloom_snap is not None and bloom_snap.properties.get("wave") == self.wave - 1:
+            self.bloom.m = int(bloom_snap.properties.get("m", self.bloom.m))
+            self.bloom.n_keys = int(bloom_snap.properties.get("n_keys", 0))
+        else:
+            self.bloom.build_from_seen(seen_h, properties={"wave": self.wave - 1})
         # size for what the ledger already holds (rebuilds at the grown
         # size only when the default was outgrown)
         self.bloom.ensure_capacity(seen_h)
+
+    # -- hosts state (merge-on-read deltas) ----------------------------------
+    #
+    # The reference updates ONE `hosts` row per touched host
+    # (Crawler.java:676-678); r2 rewrote the whole hosts table every
+    # durable wave — O(all hosts) write amplification that dwarfs the
+    # wave's real work at 10^7+ hosts. Now each durable commit APPENDS
+    # only the hosts touched (or newly hydrated) in the interval, stamped
+    # with a monotonic version `_v`; reads resolve latest-wins per host.
+    # Every HOSTS_COMPACT_EVERY delta commits the resolved table is
+    # rewritten in full (compaction), bounding read-side row count.
+
+    def _write_hosts_full(self, hosts: DataFrame, props: dict) -> None:
+        self._hosts_ver += 1
+        self.cat.write(
+            "hosts",
+            hosts.withColumn("_v", F.lit(self._hosts_ver)),
+            properties={**props, "ver": self._hosts_ver, "compacted": True},
+        )
+        self._hosts_commits_since_compact = 0
+
+    def _write_hosts_delta(self, hosts_full: DataFrame, dirty: DataFrame, props: dict) -> None:
+        """Append current rows for dirty hosts only; compact on schedule."""
+        if self._hosts_commits_since_compact >= HOSTS_COMPACT_EVERY:
+            self._write_hosts_full(hosts_full, props)
+            return
+        self._hosts_ver += 1
+        delta = hosts_full.join(dirty.select("host").distinct(), "host", "semi")
+        self.cat.write(
+            "hosts",
+            delta.withColumn("_v", F.lit(self._hosts_ver)),
+            mode="append",
+            properties={**props, "ver": self._hosts_ver},
+        )
+        self._hosts_commits_since_compact += 1
+
+    def _read_hosts(self) -> DataFrame:
+        """Latest-wins resolution of the hosts base + delta rows."""
+        df = self.cat.read(self.spark, "hosts")
+        w = Window.partitionBy("host").orderBy(F.desc("_v"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn", "_v")
+        )
 
     def _commit_frontier(self, frontier: DataFrame, wave: int, counters: dict | None = None):
         # No repartition-by-host here: plain parquet carries no
@@ -298,8 +372,9 @@ class SparkCrawler:
           the responses scan (inner broadcast join + tiny anti-join for
           unfetchable URLs) — the responses table is never shuffled.
         - counters ride as Observation metrics on the snapshot writes;
-          the only driver round-trip is the seen-additions collect the
-          Bloom shards need anyway.
+          NO per-wave driver round-trip remains — seen additions are
+          staged as data files and the Bloom probe/fold is shard-routed
+          executor-side (BloomStore).
         """
         spark, cfg, wave = self.spark, self.cfg, self.wave
         t = wave * cfg.wave_seconds
@@ -307,7 +382,7 @@ class SparkCrawler:
 
         frontier = self._mem.get("frontier") or self.cat.read(spark, "frontier")
         hosts_from_mem = "hosts" in self._mem
-        hosts = self._mem.get("hosts") or self.cat.read(spark, "hosts")
+        hosts = self._mem.get("hosts") or self._read_hosts()
         if not hosts_from_mem:
             hosts = hosts.persist()
         seen = self._seen_view()
@@ -516,15 +591,33 @@ class SparkCrawler:
         # keep ≥10 bits/key before probing: grows shards (power-of-two) and
         # rebuilds exactly from the ledger when the filter would saturate.
         self.bloom.ensure_capacity(seen.withColumn("host", host_key_col(F.col("url"))))
-        fresh = self.bloom.filter_unseen(spark, fresh, seen).persist()
+        # shard-routed probe: candidates cogroup with shard-local bitmap
+        # rows; seen-additions staged since the last durable snapshot ride
+        # in as pending rows (the bitmap table is only folded at durable
+        # commits), so nothing is broadcast and nothing hits the driver.
+        pending = None
+        if self._buf_seen_dirs:
+            pending = spark.read.parquet(*self._buf_seen_dirs).withColumn(
+                "host", host_key_col(F.col("url"))
+            )
+        fresh = self.bloom.filter_unseen(spark, fresh, seen, pending=pending).persist()
         self._tick("links_bloom")
         # (flagged inside filter_unseen is already materialized; fresh is a
         # cheap projection over it + the maybe anti-join)
 
         # enqueue-time host hydration keeps the invariant: hosts table
-        # covers every host present in the next frontier.
-        hosts_new = hosts_updated.unionByName(
-            self._new_host_rows(fresh.select("host"), hosts_updated.select("host"))
+        # covers every host present in the next frontier. The new rows are
+        # checkpointed (lean, ≤ new hosts) so the hosts-delta commit and
+        # the full in-memory hosts frame share one materialization.
+        new_host_rows = self._new_host_rows(
+            fresh.select("host"), hosts_updated.select("host")
+        ).localCheckpoint(eager=True)
+        hosts_new = hosts_updated.unionByName(new_host_rows)
+        # dirty hosts this wave = touched (politeness/caps changed) + new
+        # (lazy projections over checkpointed frames — proc is retained
+        # until the durable flush)
+        self._dirty_hosts.append(
+            touched.select("host").unionByName(new_host_rows.select("host"))
         )
 
         # priority-min merge: dedups fresh vs itself and vs the remaining
@@ -542,22 +635,24 @@ class SparkCrawler:
             F.lit(wave).alias("wave"), "url", "url_hash", "host", "depth", "outcome"
         )
 
-        # seen collect — the one driver round-trip: feeds the Bloom shards
-        # AND the seen counters (≤1 row/host, bounded by politeness).
-        # Arrow-batched (toPandas), then numpy-vectorized bit setting — no
-        # per-row Python on the driver.
+        # seen additions are STAGED (Iceberg-style data files, committed
+        # at the durable snapshot) instead of collected: the r2 design
+        # pulled every wave's additions to the driver (toPandas) to feed
+        # the driver-resident Bloom bitmaps — at the 10^10-URL north star
+        # that is millions of rows per wave through one process. Counters
+        # ride as Observation metrics on the staged write; the bitmaps
+        # are folded executor-side at the durable commit, and until then
+        # the staged rows serve as the probe's pending set.
         n_shards = self.bloom.n_shards
-        add_pdf = seen_add.select(
-            "url_hash", "url", shard_of_host(F.col("host"), n_shards).alias("shard")
-        ).toPandas()
-        self._tick("seen_collect")
-        self.bloom.add_arrays(
-            add_pdf["url_hash"].to_numpy(), add_pdf["shard"].to_numpy().astype(np.int64)
-        )
-        self._tick("bloom_add")
-        seen_by_shard = {
-            str(k): int(v) for k, v in add_pdf["shard"].value_counts().items()
-        }
+        obs_seen = Observation(f"seen-{wave}")
+        seen_staged = seen_add.observe(
+            obs_seen, F.count(F.lit(1)).alias("n"), *_shard_metric_exprs(shard, n_shards)
+        ).select("url_hash", "url")
+        seen_dir = self.cat.stage_data("seen", seen_staged)
+        seen_metrics = obs_seen.get
+        self._tick("seen_stage")
+        self.bloom.n_keys += int(seen_metrics["n"])
+        seen_by_shard = _metrics_to_shards(seen_metrics, n_shards)
 
         # (6) deferred per-shard counters ride as Observation metrics on
         # the frontier's materializing action (crawl counters already
@@ -573,7 +668,7 @@ class SparkCrawler:
         prev_mem = dict(self._mem)
         if durable:
             deferred = self._commit_durable(
-                crawl_dir, merged_obs, hosts_new, trace_add, add_pdf, base_props,
+                crawl_dir, merged_obs, hosts_new, trace_add, seen_dir, base_props,
                 obs_frontier,
             )
         else:
@@ -588,7 +683,7 @@ class SparkCrawler:
             # materialization jobs for trace buffering.
             self._buf_crawl.append(crawl_dir)
             self._buf_trace.append(trace_add)
-            self._buf_seen_pdfs.append(add_pdf[["url_hash", "url"]])
+            self._buf_seen_dirs.append(seen_dir)
             self._mem = {"frontier": merged_m, "hosts": hosts_m}
             self._keep.append(proc)
 
@@ -627,27 +722,28 @@ class SparkCrawler:
         self.wave += 1
         return {
             "wave": wave,
-            "selected": len(add_pdf),
+            "selected": int(seen_metrics["n"]),
             "saved": int(fetched["n"]),
             "frontier": int(deferred["n"]),
             **counters,
         }
 
     def _commit_durable(
-        self, crawl_dir, merged_obs, hosts_new, trace_add, add_pdf, base_props,
+        self, crawl_dir, merged_obs, hosts_new, trace_add, seen_dir, base_props,
         obs_frontier,
     ):
-        """Commit all five snapshots (flushing any fast-path buffers).
-        Crawl data dirs were staged per wave — the commit just registers
-        them in the manifest (Iceberg-style: stage files, commit metadata).
-        Writes are sequential on purpose: concurrent jobs burst the
-        Python-UDF worker pool (measured 10-20s worker-init per task)."""
+        """Commit all snapshots (flushing any fast-path buffers). Crawl
+        and seen data dirs were staged per wave — the commit just
+        registers them in the manifest (Iceberg-style: stage files,
+        commit metadata); hosts appends only the interval's dirty rows;
+        the Bloom shard table folds the interval's staged seen additions
+        executor-side. Writes are sequential on purpose: concurrent jobs
+        burst the Python-UDF worker pool (measured 10-20s worker-init
+        per task)."""
         trace_df = trace_add
         for buf in self._buf_trace:
             trace_df = buf.unionByName(trace_df)
-        seen_df = self._seen_pdf_to_df(
-            self._buf_seen_pdfs + [add_pdf[["url_hash", "url"]]]
-        )
+        seen_dirs = self._buf_seen_dirs + [seen_dir]
 
         self.cat.write(
             "crawl",
@@ -658,38 +754,38 @@ class SparkCrawler:
         )
         self._commit_frontier(merged_obs, base_props["wave"], base_props)
         deferred = obs_frontier.get
-        self.cat.write("seen", seen_df, "append", base_props)
-        self.cat.write("hosts", hosts_new, "overwrite", base_props)
+        self.cat.write("seen", None, "append", base_props, staged_dirs=seen_dirs)
+        dirty = self._dirty_hosts[0]
+        for d in self._dirty_hosts[1:]:
+            dirty = dirty.unionByName(d)
+        self._write_hosts_delta(hosts_new, dirty, base_props)
         self.cat.write("trace", trace_df, "append", base_props)
+        additions = self.spark.read.parquet(*seen_dirs).withColumn(
+            "host", host_key_col(F.col("url"))
+        )
+        self.bloom.fold_additions(additions, properties=base_props)
 
         for df in self._keep:
             df.unpersist()
-        self._buf_crawl, self._buf_trace, self._buf_seen_pdfs = [], [], []
+        self._buf_crawl, self._buf_trace, self._buf_seen_dirs = [], [], []
+        self._dirty_hosts = []
         self._keep = []
         self._mem = {}
         return deferred
 
-    def _seen_pdf_to_df(self, pdfs: list[pd.DataFrame]) -> DataFrame:
-        """Buffered (url_hash, url) pandas frames → one Spark DataFrame
-        (Arrow path — no per-row driver serialization)."""
-        pdf = (
-            pd.concat(pdfs, ignore_index=True)
-            if pdfs
-            else pd.DataFrame({"url_hash": [], "url": []})
-        )
-        return self.spark.createDataFrame(pdf, "url_hash string, url string")
-
     def _seen_view(self) -> DataFrame:
-        """Durable seen ledger plus fast-path buffered additions."""
+        """Durable seen ledger plus fast-path staged additions."""
         seen = self.cat.read(self.spark, "seen")
-        if self._buf_seen_pdfs:
-            seen = seen.unionByName(self._seen_pdf_to_df(self._buf_seen_pdfs))
+        if self._buf_seen_dirs:
+            seen = seen.unionByName(
+                self.spark.read.parquet(*self._buf_seen_dirs)
+            )
         return seen
 
     def flush(self) -> None:
         """Force a durable snapshot of any fast-path in-memory state +
         buffered appends (no-op when already durable)."""
-        if not self._mem and not self._buf_crawl and not self._buf_seen_pdfs:
+        if not self._mem and not self._buf_crawl and not self._buf_seen_dirs:
             return
         props = {"wave": self.wave - 1, "flushed": True, "waves": self._wave_props,
                  "total_pages": self._pages_total}
@@ -705,21 +801,26 @@ class SparkCrawler:
             for buf in self._buf_trace[1:]:
                 trace_df = trace_df.unionByName(buf)
             self.cat.write("trace", trace_df, mode="append", properties=props)
-        if self._buf_seen_pdfs:
+        if self._buf_seen_dirs:
             self.cat.write(
-                "seen",
-                self._seen_pdf_to_df(self._buf_seen_pdfs),
-                mode="append",
-                properties=props,
+                "seen", None, mode="append", properties=props,
+                staged_dirs=list(self._buf_seen_dirs),
             )
+            additions = self.spark.read.parquet(*self._buf_seen_dirs).withColumn(
+                "host", host_key_col(F.col("url"))
+            )
+            self.bloom.fold_additions(additions, properties=props)
         if "frontier" in self._mem:
             self._commit_frontier(self._mem["frontier"], self.wave - 1, props)
-        if "hosts" in self._mem:
-            self.cat.write("hosts", self._mem["hosts"], properties=props)
+        if "hosts" in self._mem and self._dirty_hosts:
+            dirty = self._dirty_hosts[0]
+            for d in self._dirty_hosts[1:]:
+                dirty = dirty.unionByName(d)
+            self._write_hosts_delta(self._mem["hosts"], dirty, props)
         for df in self._keep + list(self._mem.values()):
             df.unpersist()
-        self._buf_crawl, self._buf_trace, self._buf_seen_pdfs = [], [], []
-        self._mem, self._keep, self._wave_props = {}, [], []
+        self._buf_crawl, self._buf_trace, self._buf_seen_dirs = [], [], []
+        self._mem, self._keep, self._wave_props, self._dirty_hosts = {}, [], [], []
 
     # -- driver loop -------------------------------------------------------------
     def total_pages(self) -> int:

@@ -71,13 +71,14 @@ def seed_ingest_stream(
         # starts with an inner frontier⨝hosts join (its maintained
         # invariant is "hosts covers every frontier host"), so seeds on
         # unknown hosts would otherwise be silently dropped on the next
-        # wave.
-        hosts = crawler.cat.read(crawler.spark, "hosts")
+        # wave. Appended as a hosts DELTA (latest-wins reads) — the
+        # stream never rewrites the full hosts table either.
+        hosts = crawler._read_hosts()
         new_hosts = crawler._new_host_rows(fresh.select("host"), hosts.select("host"))
-        crawler.cat.write(
-            "hosts",
+        crawler._write_hosts_delta(
             hosts.unionByName(new_hosts),
-            properties={"stream_batch": int(batch_id)},
+            new_hosts.select("host"),
+            {"stream_batch": int(batch_id)},
         )
         fresh.unpersist()
 
