@@ -260,13 +260,24 @@ class BloomStore:
         n_shards: int = 16,
         bits_per_shard: int = 1 << 17,
         table: str = "bloom",
+        broadcast_threshold: int = 64 << 20,
     ):
         assert bits_per_shard & (bits_per_shard - 1) == 0, "m must be a power of 2"
         self.cat = catalog
         self.n_shards = n_shards
         self.m = bits_per_shard
         self.table = table
+        # Probe strategy follows the join-strategy rule: while the whole
+        # bitmap set fits comfortably in one executor (≤ threshold,
+        # mirroring autoBroadcastJoinThreshold), probe map-side against a
+        # broadcast of the table (no candidate shuffle — the filter is
+        # small, so shipping it to the data wins); past the threshold,
+        # shard-route (cogroup) so per-task memory stays O(one shard).
+        # The broadcast is rebuilt only when the table snapshot changes
+        # (once per durable interval), never per wave.
+        self.broadcast_threshold = broadcast_threshold
         self.n_keys = 0
+        self._bc: tuple[int | None, int, object] | None = None
 
     # -- table io ----------------------------------------------------------
     def bitmaps_df(self, spark: SparkSession) -> DataFrame:
@@ -446,6 +457,40 @@ class BloomStore:
             .applyInPandas(probe, out_schema)
         )
 
+    def _bitmaps_broadcast(self, spark: SparkSession):
+        """Broadcast of the full (small-regime) bitmap matrix, cached by
+        table snapshot id — collected once per durable interval."""
+        snap = self.cat.current_snapshot(self.table) if self.cat.exists(self.table) else None
+        sid = snap.snapshot_id if snap is not None else None
+        if self._bc is not None and self._bc[0] == sid and self._bc[1] == self.m:
+            return self._bc[2]
+        arr = np.zeros((self.n_shards, self.m // 8), dtype=np.uint8)
+        if sid is not None:
+            for r in self.cat.read(spark, self.table).collect():
+                bm = np.frombuffer(r["bitmap"], dtype=np.uint8)
+                assert len(bm) * 8 == self.m, "bitmap row at stale m — rebuild required"
+                arr[r["shard"]] = bm
+        bc = spark.sparkContext.broadcast(arr)
+        self._bc = (sid, self.m, bc)
+        return bc
+
+    def _probe_broadcast_udf(self, spark: SparkSession):
+        bc, m = self._bitmaps_broadcast(spark), self.m
+
+        @pandas_udf(BooleanType())
+        def probe(url_hash: pd.Series, shard: pd.Series) -> pd.Series:
+            bitmaps = bc.value
+            n = len(url_hash)
+            if n == 0:
+                return pd.Series(np.empty(0, dtype=bool))
+            h1, h2 = _hash_pair(url_hash.to_numpy())
+            byte_idx, bit = _positions(h1, h2, m)
+            sh = shard.to_numpy().astype(np.int64)[:, None]
+            vals = bitmaps[sh, byte_idx]
+            return pd.Series(((vals >> bit) & 1).all(axis=1))
+
+        return probe
+
     def filter_unseen(
         self,
         spark: SparkSession,
@@ -453,15 +498,31 @@ class BloomStore:
         seen: DataFrame,
         pending: DataFrame | None = None,
     ) -> DataFrame:
-        """Candidates not in ``seen``: shard-local Bloom pre-pass + exact
-        left-anti join on the maybe-hits only. Zero false negatives by
-        construction (bitmaps cover the durable ledger, pending rows
-        cover the staged interval). Eagerly materialized for the same
-        reason as BloomShards.filter_unseen: the clean/maybe split scans
-        the flagged frame twice."""
-        flagged = self.probe_flagged(candidates, pending=pending).localCheckpoint(
-            eager=True
-        )
+        """Candidates not in ``seen``: Bloom pre-pass + exact left-anti
+        join on the maybe-hits only. Zero false negatives by construction
+        (bitmaps cover the durable ledger; staged-interval additions are
+        covered by pending rows in the shard-routed path, by an exact
+        broadcast anti-join in the small-regime path). Eagerly
+        materialized: the clean/maybe split scans the flagged frame
+        twice, and a lazy cache would let the scans race."""
+        if self.n_shards * (self.m // 8) <= self.broadcast_threshold:
+            # small regime: map-side probe against the broadcast matrix
+            # (no candidate shuffle); pending additions are exact-filtered
+            # by a broadcast anti-join — pending is interval-bounded and,
+            # in this regime, tiny relative to the cluster.
+            if pending is not None:
+                candidates = candidates.join(
+                    F.broadcast(pending.select("url_hash")), "url_hash", "left_anti"
+                )
+            probe = self._probe_broadcast_udf(spark)
+            shard = shard_of_host(F.col("host"), self.n_shards)
+            flagged = candidates.withColumn(
+                "_maybe", probe(F.col("url_hash"), shard)
+            ).localCheckpoint(eager=True)
+        else:
+            flagged = self.probe_flagged(candidates, pending=pending).localCheckpoint(
+                eager=True
+            )
         clean = flagged.where(~F.col("_maybe")).drop("_maybe")
         maybe = flagged.where(F.col("_maybe")).drop("_maybe")
         verified = maybe.join(seen.select("url_hash"), "url_hash", "left_anti")

@@ -29,6 +29,11 @@ def cat(tmp_path):
     return Catalog(str(tmp_path / "cat"))
 
 
+# 0 forces the shard-routed cogroup path; the default threshold keeps the
+# small-regime broadcast path — both must give identical exact answers.
+THRESHOLDS = [0, 64 << 20]
+
+
 def _seen(spark, lo, hi):
     return spark.range(lo, hi).select(
         F.concat(F.lit("h"), F.lpad(F.col("id").cast("string"), 6, "0")).alias(
@@ -45,8 +50,11 @@ def _cand(spark, lo, hi):
     return _seen(spark, lo, hi).withColumn("url", F.col("url_hash"))
 
 
-def test_store_no_false_negatives_and_matches_exact(spark, cat):
-    store = BloomStore(cat, n_shards=4, bits_per_shard=1 << 14)
+@pytest.mark.parametrize("threshold", THRESHOLDS)
+def test_store_no_false_negatives_and_matches_exact(spark, cat, threshold):
+    store = BloomStore(
+        cat, n_shards=4, bits_per_shard=1 << 14, broadcast_threshold=threshold
+    )
     seen = _seen(spark, 0, 3000)
     store.build_from_seen(seen)
     assert store.n_keys == 3000
@@ -63,10 +71,14 @@ def test_store_no_false_negatives_and_matches_exact(spark, cat):
     assert got == exact  # no false negatives, no leaked dupes
 
 
-def test_store_pending_additions_cover_interval(spark, cat):
+@pytest.mark.parametrize("threshold", THRESHOLDS)
+def test_store_pending_additions_cover_interval(spark, cat, threshold):
     """Additions staged since the last durable fold must be honored by
-    the probe (as pending rows) WITHOUT rewriting the bitmap table."""
-    store = BloomStore(cat, n_shards=4, bits_per_shard=1 << 14)
+    the probe (pending rows in the shard-routed path, exact broadcast
+    anti-join in the small regime) WITHOUT rewriting the bitmap table."""
+    store = BloomStore(
+        cat, n_shards=4, bits_per_shard=1 << 14, broadcast_threshold=threshold
+    )
     store.build_from_seen(_seen(spark, 0, 1000))
     snap_before = cat.current_snapshot(store.table).snapshot_id
 
