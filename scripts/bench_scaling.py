@@ -86,10 +86,23 @@ def _burn(n: int) -> int:
     return 1
 
 
+def _pin_to(cores: int) -> None:
+    """Pool initializer: pin this worker's process to CPUs 0..cores-1 —
+    the SAME affinity regime the taskset-pinned Spark legs run under, so
+    capacity_factor normalizes like-for-like (an unpinned probe measures
+    a different scheduling regime than the legs it normalizes, and since
+    capacity_factor < 1 that asymmetry could only inflate the derived
+    number)."""
+    import os as _os
+
+    _os.sched_setaffinity(0, range(cores))
+
+
 def cpu_capacity_probe(cores_low: int, cores_high: int, n: int = 3_000_000) -> dict:
     """Hardware control: per-core capacity at the two active-core counts,
     measured with plain multiprocessing (1 thread/proc, SHA-1 loop — the
-    same hash-heavy shape as per-URL work, no Spark in the loop).
+    same hash-heavy shape as per-URL work, no Spark in the loop), pinned
+    to the same CPU sets as the corresponding Spark legs.
 
     On this single-box sandbox, activating more cores lowers per-core
     capacity (boost clocks / host scheduling) — a confound a real N-vs-4N
@@ -97,7 +110,8 @@ def cpu_capacity_probe(cores_low: int, cores_high: int, n: int = 3_000_000) -> d
     own sockets at unchanged clocks. The ratio
     ``capacity_factor = thru_high_per_core / thru_low_per_core`` is the
     hardware ceiling any perfectly-scaling software shows between the two
-    legs; raw efficiency divided by it isolates the scheduler's share."""
+    legs. The RAW efficiency remains the pass/fail gate; the
+    capacity-adjusted figure is reported as context only."""
     import multiprocessing as mp
     import time as _t
 
@@ -107,7 +121,7 @@ def cpu_capacity_probe(cores_low: int, cores_high: int, n: int = 3_000_000) -> d
         best = float("inf")
         for rep in range(3):
             t0 = _t.time()
-            with mp.Pool(procs) as p:
+            with mp.Pool(procs, initializer=_pin_to, initargs=(procs,)) as p:
                 p.map(_burn, [n] * procs)
             dt = _t.time() - t0
             if rep > 0:
@@ -192,6 +206,12 @@ def main() -> None:
     ap.add_argument("--checkpoint-interval", type=int, default=4)
     ap.add_argument("--cores-low", type=int, default=2)
     ap.add_argument("--cores-high", type=int, default=8)
+    ap.add_argument(
+        "--pairs",
+        default=None,
+        help="comma list of N:4N leg pairs, e.g. '1:4,2:8' — overrides "
+        "--cores-low/--cores-high; legs shared across pairs run once",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     ap.add_argument(
         "--web-dir",
@@ -234,17 +254,68 @@ def main() -> None:
         if "GENDONE" not in gen.stdout:
             raise RuntimeError(f"webgen failed:\n{gen.stdout[-1500:]}\n{gen.stderr[-3000:]}")
 
-    lo = run_one(args.cores_low, args, web_dir)
-    print(f"cores={args.cores_low}: {lo}")
-    hi = run_one(args.cores_high, args, web_dir)
-    print(f"cores={args.cores_high}: {hi}")
+    if args.pairs:
+        pairs = [
+            tuple(int(x) for x in p.split(":")) for p in args.pairs.split(",")
+        ]
+    else:
+        pairs = [(args.cores_low, args.cores_high)]
 
+    # run each distinct leg once, shared across pairs
+    legs: dict[int, dict] = {}
+    for cores in sorted({c for p in pairs for c in p}):
+        legs[cores] = run_one(cores, args, web_dir)
+        print(f"cores={cores}: {legs[cores]}")
+
+    results = []
+    for n, m in pairs:
+        t_lo, t_hi = legs[n]["crawl_sec"], legs[m]["crawl_sec"]
+        efficiency = (t_lo * n) / (t_hi * m)
+        probe = cpu_capacity_probe(n, m)
+        cap = probe["capacity_factor"]
+        sched_eff = efficiency / cap if cap > 0 else float("nan")
+        results.append(
+            {"n": n, "m": m, "eff": efficiency, "probe": probe, "cap": cap,
+             "sched_eff": sched_eff}
+        )
+
+    # primary pair (first listed) drives the headline figures
+    n, m = pairs[0]
+    lo, hi = legs[n], legs[m]
     t_lo, t_hi = lo["crawl_sec"], hi["crawl_sec"]
-    n, m = args.cores_low, args.cores_high
-    efficiency = (t_lo * n) / (t_hi * m)
-    probe = cpu_capacity_probe(n, m)
-    cap = probe["capacity_factor"]
-    sched_eff = efficiency / cap if cap > 0 else float("nan")
+    efficiency, probe = results[0]["eff"], results[0]["probe"]
+    cap, sched_eff = results[0]["cap"], results[0]["sched_eff"]
+
+    pair_rows = "\n".join(
+        f"| {r['n']}→{r['m']} | {legs[r['n']]['crawl_sec']:.1f} | "
+        f"{legs[r['m']]['crawl_sec']:.1f} | **{r['eff']:.3f}** | "
+        f"{r['cap']:.3f} | {r['sched_eff']:.3f} |"
+        for r in results
+    )
+    bloom_json = os.path.join(REPO, "BENCH", "bloom_probe.json")
+    bloom_section = ""
+    if os.path.exists(bloom_json):
+        b = json.load(open(bloom_json))
+        bloom_section = f"""
+## URL-seen probe at 10^7 keys (shard-routed BloomStore)
+
+``scripts/bench_bloom_probe.py`` builds the catalog-backed Bloom shard
+table from {b['n_keys']:,} ledger keys and probes {b['n_candidates']:,}
+candidates ({b['dupe_fraction']:.0%} true dupes) through both probe
+strategies on local[{b['cpus']}]:
+
+| path | build_sec | probe_sec | probed keys/sec |
+| --- | --- | --- | --- |
+| broadcast (small regime) | {b['broadcast']['build_sec']:.1f} | {b['broadcast']['probe_sec']:.1f} | {b['broadcast']['keys_per_sec']:,.0f} |
+| shard-routed cogroup (scale regime) | {b['cogroup']['build_sec']:.1f} | {b['cogroup']['probe_sec']:.1f} | {b['cogroup']['keys_per_sec']:,.0f} |
+
+Both return the exact same unseen set (asserted in the run). The
+strategy switch is automatic at 64 MB of bitmaps — the broadcast path
+wins while the filter is small; the cogroup path holds ONE shard per
+task so the same plan runs when the bitmaps total ~12 GB at the
+10^10-URL north star (where a broadcast would ship 12 GB to every
+executor and is simply not runnable).
+"""
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         f.write(f"""# BENCH BASELINE — crawl-replay throughput + scaling efficiency
@@ -296,17 +367,32 @@ north rule asks about: the scheduler's parallel scaling.
 
 | cores | crawl_sec | urls/sec |
 | --- | --- | --- |
-| local[{n}] | {t_lo:.1f} | {lo['urls_per_sec']:.1f} |
-| local[{m}] | {t_hi:.1f} | {hi['urls_per_sec']:.1f} |
+""" + "\n".join(
+            f"| local[{c}] | {legs[c]['crawl_sec']:.1f} | {legs[c]['urls_per_sec']:.1f} |"
+            for c in sorted(legs)
+        ) + f"""
 
 **Raw scaling efficiency (T_N·N)/(T_4N·4N) = {efficiency:.3f}**
-(target ≥ 0.8, BASELINE.json north_rule; N={n}, 4N={m}).
+(target ≥ 0.8, BASELINE.json north_rule; primary pair N={n}, 4N={m}).
+The RAW figure is the pass/fail gate; the capacity-adjusted column
+below is reported as context only.
+
+All measured leg pairs (the 2→8 pair answers the r2 "weakest-base-leg"
+objection — the ≥0.8 claim is not an artifact of a 1-core base):
+
+| pair N→4N | T_N (s) | T_4N (s) | raw eff | capacity_factor | sched-adj eff |
+| --- | --- | --- | --- | --- | --- |
+{pair_rows}
 
 ## Hardware control (single-box confound)
 
 A plain-multiprocessing control (1 thread/proc SHA-1 loop, no Spark —
 ``cpu_capacity_probe``) measures how much per-core capacity this VM
-loses just from activating more cores (boost clocks / host scheduling):
+loses just from activating more cores (boost clocks / host scheduling).
+The probe processes are **sched_setaffinity-pinned to the same CPU sets
+as the Spark legs they normalize** (an unpinned probe would measure a
+different scheduling regime and could only flatter the adjusted
+number):
 
 | active procs | per-core SHA-1/s |
 | --- | --- |
@@ -320,8 +406,8 @@ their own sockets at unchanged clocks, which is the regime the north
 rule's criterion describes.
 
 **Scheduler-attributable efficiency = raw / capacity_factor =
-{sched_eff:.3f}** (target ≥ 0.8).
-
+{sched_eff:.3f}** (context; the raw figure above is the gate).
+{bloom_section}
 Work per URL: byte-exact link extraction + canonicalization
 (Arrow-batched pandas UDFs), reference SHA-1 identity + host key
 (whole-stage-codegen column expressions), robots evaluation,
@@ -329,7 +415,7 @@ numpy-vectorized Bloom-shard URL-seen probe, per-host politeness
 windowing, priority-min frontier merge, snapshot commit.
 
 Reproduce: `python3 scripts/bench_scaling.py --hosts {args.hosts} \\
-  --heft {args.heft} --waves {args.waves} --cores-low {n} --cores-high {m}`
+  --heft {args.heft} --waves {args.waves} --pairs {args.pairs or f"{n}:{m}"}`
 
 ## Reading BENCH_r{{N}}.json across rounds
 
@@ -342,10 +428,12 @@ page heft — the steady-state regime), so wall-second fields
 (`queries.crawl_replay`, `headline_total_sec`) are NOT comparable
 round-to-round; urls/sec is.
 """)
-    print(
-        f"efficiency={efficiency:.3f} capacity_factor={cap:.3f} "
-        f"scheduler_eff={sched_eff:.3f} → {args.out}"
-    )
+    for r in results:
+        print(
+            f"pair {r['n']}->{r['m']}: raw={r['eff']:.3f} "
+            f"capacity_factor={r['cap']:.3f} sched_adj={r['sched_eff']:.3f}"
+        )
+    print(f"-> {args.out}")
 
 
 if __name__ == "__main__":
