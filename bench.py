@@ -44,6 +44,8 @@ HEADLINE = [
     "q_simhash",
     "q_cosine_topk",
     "q_ivf_ann",
+    "q_ivf_kmeans",
+    "q_embed_neardup",
     "q_media_features",
 ]
 
