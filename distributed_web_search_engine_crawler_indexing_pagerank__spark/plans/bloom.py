@@ -14,7 +14,7 @@ shuffles the ledger repeatedly. Instead:
 - probe-positive candidates (true dupes + ~1% false positives) go through
   the exact left-anti join; probe-negative candidates skip it entirely.
 
-Round-2 scale design:
+Scale design:
 
 - **vectorized double hashing**: the url_hash is ALREADY a 160-bit SHA-1
   (rendered in the reference alphabet), so probe positions need no second
@@ -25,17 +25,21 @@ Round-2 scale design:
 - **auto-sizing**: shards keep ≥ BITS_PER_KEY bits per inserted key
   (~0.8% fp at 10 bits, k=7). ``ensure_capacity`` grows ``m`` to the next
   power of two and rebuilds exactly from the seen ledger — a distributed
-  ``groupBy(shard).applyInPandas`` whose driver cost is collecting
-  n_shards bitmaps, never rows. Growth is geometric (2× headroom), so
+  ``groupBy(shard).applyInPandas``. Growth is geometric (2× headroom), so
   rebuild cost amortizes like a dynamic array.
-- **vectorized maintenance**: per-wave additions OR bits via
-  ``np.bitwise_or.at`` (no Python loop); shards re-broadcast lazily on
-  next probe.
+- **two storage/probe shapes** (round 3): :class:`BloomShards` is the
+  driver-resident form (bitmaps in one numpy matrix, broadcast probe) —
+  fine for tools and tests; :class:`BloomStore` is the CRAWL path's
+  catalog-backed form — bitmaps as a table, probes either map-side
+  against a snapshot-cached broadcast (small regime) or shard-routed by
+  cogroup with O(one shard) per task (scale regime), updates folded
+  executor-side. Nothing is collected to the driver per wave.
 
-Consistency invariant: add/build/probe all derive positions from the same
-``_hash_pair`` basis, and any cross-process resume rebuilds every bitmap
-via ``build_from_seen`` — so a bit set by one path is always found by
-another (the no-false-negative guarantee the exact anti-join relies on).
+Consistency invariant: add/build/fold/probe all derive positions from the
+same ``_hash_pair`` basis, and any resume either reuses the durable shard
+table or rebuilds it exactly from the seen ledger — so a bit set by one
+path is always found by another (the no-false-negative guarantee the
+exact anti-join relies on).
 """
 
 from __future__ import annotations
