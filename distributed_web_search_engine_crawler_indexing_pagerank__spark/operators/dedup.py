@@ -39,6 +39,8 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "embedding_near_dups",
+    "dup_components",
+    "DUP_COMPONENT_ITERS",
 ]
 
 SHINGLE_N = 3
@@ -364,4 +366,54 @@ def embedding_near_dups(
         )
         .where(F.col("cos") >= min_cos)
         .select("vec_a", "vec_b", "cos")
+    )
+
+
+# --- near-duplicate clustering (connected components) -----------------------
+
+DUP_COMPONENT_ITERS = 6
+
+
+def dup_components(
+    pairs: DataFrame,
+    id_a: str = "vec_a",
+    id_b: str = "vec_b",
+    iters: int = DUP_COMPONENT_ITERS,
+) -> DataFrame:
+    """→ (vec_id, component): connected components over near-duplicate
+    pairs by min-label propagation — the step that turns pairwise dedup
+    output into per-document canonical keepers (component = the minimum
+    id reachable within ``iters`` hops; transitive groups a-b, b-c land
+    in one component even though (a, c) was never a candidate pair).
+
+    Each iteration is one edge⨝label join + per-vertex min — the classic
+    Pregel-style label propagation as plain DataFrame ops, convergent in
+    O(graph diameter) rounds; near-dup components are tiny (dozens of
+    docs), so a fixed small ``iters`` is exact in practice AND keeps the
+    operator SQL-oracle-able (the oracle unrolls the same iterations, so
+    both engines compute the identical fixpoint prefix). At 10^9-edge
+    scale, swap in the large-star/small-star contraction (halves round
+    count) and checkpoint labels per round to cut lineage — the join
+    shape per round is unchanged."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(iters):
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("_nbr_min"))
+        )
+        labels = labels.join(prop, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))
+            ).alias("label"),
+        )
+    return labels.select(
+        F.col("id").alias("vec_id"), F.col("label").alias("component")
     )

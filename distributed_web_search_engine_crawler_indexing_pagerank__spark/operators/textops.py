@@ -12,9 +12,10 @@ shuffle at all except where a groupBy is the point.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
+    "stratified_sample",
     "WS_PATTERN",
     "BPE_PATTERN",
     "LANG_MARKERS",
@@ -169,3 +170,27 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     exact-dedup identity."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PATTERN, " ")
     return df.select(F.col(id_col), F.md5(norm).alias("fp"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    quota: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, strata): at most ``quota`` rows per stratum, chosen by
+    md5(id) order — deterministic, engine-independent quota sampling
+    (the per-language cap step of a training-data curation pipeline;
+    a seeded ``df.sample`` is RNG/partitioning-dependent, a hash order
+    is not). One window over the strata key: the same single-shuffle
+    shape as any per-group top-k, so skewed strata behave exactly like
+    any hot window key (AQE handles the residue; the quota bounds the
+    output per stratum by construction)."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= quota)
+        .select(F.col(id_col), F.col(strata_col))
+    )

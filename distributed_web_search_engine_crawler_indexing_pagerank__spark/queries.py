@@ -937,6 +937,75 @@ SELECT vec_a, vec_b, cos FROM pairs WHERE cos >= {EMBED_NEARDUP_MIN_COS}
 SQL_EMBED_NEARDUP = _sql_embed_neardup()
 
 
+def q_dup_components(spark, sf_dir):
+    """near-duplicate clustering: connected components (min-label
+    propagation, fixed iterations) over the embedding near-dup pairs —
+    pairwise dedup output → per-document canonical component id."""
+    pairs = dedup.embedding_near_dups(
+        _t(spark, sf_dir, "embeddings"),
+        min_cos=EMBED_NEARDUP_MIN_COS,
+        bits=EMBED_NEARDUP_BITS,
+    )
+    return dedup.dup_components(pairs)
+
+
+def _sql_dup_components() -> str:
+    """Unrolled min-label propagation over the near-dup pair CTE — the
+    PageRank-CTE pattern applied to connected components: both engines
+    run the identical fixed iteration count, so the (possibly
+    unconverged) fixpoint prefix matches exactly."""
+    iters = []
+    for k in range(1, dedup.DUP_COMPONENT_ITERS + 1):
+        prev = f"l{k - 1}"
+        iters.append(f"""l{k} AS (
+  SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
+  FROM {prev} l
+  LEFT JOIN (
+    SELECT e.dst AS id, ll.label FROM e JOIN {prev} ll ON e.src = ll.id
+  ) n ON n.id = l.id
+  GROUP BY l.id, l.label
+)""")
+    chain = ",\n".join(iters)
+    return f"""
+WITH pairs_final AS (
+  {SQL_EMBED_NEARDUP}
+),
+e AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs_final
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs_final
+),
+l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+{chain}
+SELECT id AS vec_id, label AS component FROM l{dedup.DUP_COMPONENT_ITERS}
+"""
+
+
+SQL_DUP_COMPONENTS = _sql_dup_components()
+
+
+STRATIFIED_QUOTA = 40
+
+
+def q_stratified_sample(spark, sf_dir):
+    """deterministic per-language quota sampling (dataset curation):
+    md5-ordered top-``quota`` rows per lang stratum."""
+    return textops.stratified_sample(
+        _t(spark, sf_dir, "documents"), quota=STRATIFIED_QUOTA
+    )
+
+
+SQL_STRATIFIED = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS _rk
+  FROM documents
+) WHERE _rk <= {STRATIFIED_QUOTA}
+"""
+
+
 def _sql_simhash() -> str:
     # bit b of md5: hex digit b//4+1; within-digit bit b%4 (8s bit first)
     digit_sets = {0: "89abcdef", 1: "4567cdef", 2: "2367abef", 3: "13579bdf"}
@@ -1270,6 +1339,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_minhash_lsh": (q_minhash_lsh, SQL_MINHASH),
     "q_simhash": (q_simhash, SQL_SIMHASH),
     "q_embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
+    "q_dup_components": (q_dup_components, SQL_DUP_COMPONENTS),
+    "q_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     # similarity
     "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "q_ivf_ann": (q_ivf_ann, SQL_IVF_ANN),

@@ -59,3 +59,24 @@ def test_hot_shingle_cap_bounds_candidates(spark):
     capped = dedup.ngram_jaccard_pairs(df, min_jaccard=0.0, max_df=30)
     got = [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in capped.collect()]
     assert got == [(1000, 1001, 1.0)]
+
+
+def test_dup_components_transitive(spark):
+    """a-b and b-c pairs must land a, b, c in ONE component (min id),
+    even though (a, c) was never a candidate pair; disjoint pairs stay
+    in separate components; chain longer than 2 still collapses within
+    the fixed iteration budget."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.dedup import (
+        dup_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "vec_a long, vec_b long",
+    )
+    got = {r["vec_id"]: r["component"] for r in dup_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
