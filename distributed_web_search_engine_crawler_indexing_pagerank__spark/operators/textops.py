@@ -16,6 +16,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "stratified_sample",
+    "repetition_stats",
+    "quality_filter",
     "WS_PATTERN",
     "BPE_PATTERN",
     "LANG_MARKERS",
@@ -193,4 +195,83 @@ def stratified_sample(
         df.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= quota)
         .select(F.col(id_col), F.col(strata_col))
+    )
+
+
+# Composite web-text curation rule thresholds (Gopher/RefinedWeb-style;
+# shared with the SQL oracle in queries.py).
+QF_MIN_TOKENS = 5
+QF_MAX_TOKENS = 100_000
+QF_MIN_ALPHA = 0.5
+QF_MAX_DUP = 0.3
+REP_N = 2
+
+
+def _bigram_cols(text_col: str):
+    """(n_grams, n_distinct, dup_fraction) over word 2-grams — shared by
+    repetition_stats and quality_filter (all rounded/guarded the same
+    way as the SQL oracle)."""
+    toks = tokens_col(F.lower(F.trim(F.col(text_col))))
+    grams = F.when(
+        F.size(toks) >= REP_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - REP_N),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, REP_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    uniq = F.size(F.array_distinct(grams))
+    dup = F.when(
+        total > 0, F.round(F.lit(1.0) - uniq / total, 6)
+    ).otherwise(F.lit(0.0))
+    return total, uniq, dup
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, n_grams, n_distinct_grams, dup_gram_fraction): repeated
+    word-bigram fraction — the standard repetition signal of web-text
+    quality rules (a page whose bigrams are mostly duplicates is
+    boilerplate/keyword-stuffing). Pure column expressions: one scan, no
+    shuffle, no UDF."""
+    total, uniq, dup = _bigram_cols(text_col)
+    return df.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        uniq.alias("n_distinct_grams"),
+        dup.alias("dup_gram_fraction"),
+    )
+
+
+def quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, n_tokens, alpha_ratio, dup_gram_fraction, keep): the
+    composite keep/drop curation rule — token-count window, alphabetic
+    ratio floor, repetition ceiling — evaluated in ONE scan+project (no
+    joins of the individual metric operators; at 100 TB the filter IS
+    the scan). Thresholds are module constants shared with the oracle;
+    comparisons run on the 6-decimal-rounded values so the keep bit is
+    engine-independent."""
+    text = F.trim(F.col(text_col))
+    n_tok = F.size(tokens_col(F.lower(text)))
+    alpha = F.round(
+        F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+        / F.greatest(F.length(text), F.lit(1)),
+        6,
+    )
+    _, _, dup = _bigram_cols(text_col)
+    keep = (
+        (n_tok >= QF_MIN_TOKENS)
+        & (n_tok <= QF_MAX_TOKENS)
+        & (alpha >= QF_MIN_ALPHA)
+        & (dup <= QF_MAX_DUP)
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        alpha.alias("alpha_ratio"),
+        dup.alias("dup_gram_fraction"),
+        keep.alias("keep"),
     )

@@ -1006,6 +1006,66 @@ SELECT doc_id, lang FROM (
 """
 
 
+def q_repetition(spark, sf_dir):
+    """repeated-bigram fraction per document — the repetition signal of
+    web-text curation rules (boilerplate/keyword-stuffing detector)."""
+    return textops.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+# word bigrams as a DuckDB list comprehension, mirroring _bigram_cols
+_SQL_BIGRAMS = """
+SELECT doc_id,
+       CASE WHEN len(t) >= 2
+            THEN [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)]
+            ELSE [] END AS grams
+FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents)
+"""
+
+SQL_REPETITION = f"""
+WITH g AS ({_SQL_BIGRAMS})
+SELECT doc_id,
+       len(grams) AS n_grams,
+       len(list_distinct(grams)) AS n_distinct_grams,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+            ELSE 0.0 END AS dup_gram_fraction
+FROM g
+"""
+
+
+def q_quality_filter(spark, sf_dir):
+    """composite keep/drop curation rule (token window + alphabetic
+    floor + repetition ceiling) in one scan+project."""
+    return textops.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+SQL_QUALITY_FILTER = f"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+         round(len(regexp_replace(trim(text), '[^a-zA-Z]', '', 'g')) * 1.0 /
+               greatest(len(trim(text)), 1), 6) AS alpha_ratio,
+         CASE WHEN len(t) >= 2
+              THEN [t[i] || ' ' || t[i+1] FOR i IN generate_series(1, len(t) - 1)]
+              ELSE [] END AS grams
+  FROM (SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents)
+),
+m AS (
+  SELECT doc_id, n_tokens, alpha_ratio,
+         CASE WHEN len(grams) > 0
+              THEN round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+              ELSE 0.0 END AS dup_gram_fraction
+  FROM base
+)
+SELECT doc_id, n_tokens, alpha_ratio, dup_gram_fraction,
+       (n_tokens >= {textops.QF_MIN_TOKENS} AND n_tokens <= {textops.QF_MAX_TOKENS}
+        AND alpha_ratio >= {textops.QF_MIN_ALPHA}
+        AND dup_gram_fraction <= {textops.QF_MAX_DUP}) AS keep
+FROM m
+"""
+
+
 def _sql_simhash() -> str:
     # bit b of md5: hex digit b//4+1; within-digit bit b%4 (8s bit first)
     digit_sets = {0: "89abcdef", 1: "4567cdef", 2: "2367abef", 3: "13579bdf"}
@@ -1341,6 +1401,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "q_dup_components": (q_dup_components, SQL_DUP_COMPONENTS),
     "q_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
+    "q_repetition": (q_repetition, SQL_REPETITION),
+    "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     # similarity
     "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "q_ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
