@@ -41,6 +41,7 @@ __all__ = [
     "embedding_near_dups",
     "dup_components",
     "DUP_COMPONENT_ITERS",
+    "contamination",
 ]
 
 SHINGLE_N = 3
@@ -416,4 +417,45 @@ def dup_components(
         )
     return labels.select(
         F.col("id").alias("vec_id"), F.col("label").alias("component")
+    )
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+def contamination(
+    df: DataFrame,
+    eval_ids: DataFrame,
+    min_overlap: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, shared_shingles, contaminated): benchmark
+    decontamination — flag training documents sharing ≥ ``min_overlap``
+    word n-gram shingles with a held-out evaluation set (the standard
+    n-gram-overlap contamination check run before training).
+
+    Scale shape: the eval set's distinct shingles are SMALL (benchmarks
+    are thousands of documents, the corpus is billions), so they
+    broadcast; the check is then a map-side semi-join + partial-agg
+    count over the one shingle explode — the corpus is scanned once and
+    never shuffled by shingle. Docs with zero overlap are preserved via
+    the left join (the output covers every input row)."""
+    sh = shingles(df, text_col, id_col)
+    eval_sh = (
+        sh.join(F.broadcast(eval_ids.select(id_col)), id_col).select("sh").distinct()
+    )
+    overlap = (
+        sh.join(F.broadcast(eval_sh), "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    shared = F.coalesce("shared_shingles", F.lit(0))
+    return (
+        df.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            F.col(id_col),
+            shared.cast("long").alias("shared_shingles"),
+            (shared >= min_overlap).alias("contaminated"),
+        )
     )

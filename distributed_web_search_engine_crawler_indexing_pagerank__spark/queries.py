@@ -842,6 +842,23 @@ SELECT DISTINCT doc_id, sh FROM (
 """
 
 
+CONTAM_EVAL_MOD = 97
+CONTAM_MIN_OVERLAP = 5
+
+SQL_CONTAMINATION = f"""
+WITH sh AS ({_SQL_SHINGLES}),
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+ov AS (
+  SELECT s.doc_id, count(*) AS shared_shingles
+  FROM sh s JOIN ev USING (sh) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(ov.shared_shingles, 0) AS shared_shingles,
+       coalesce(ov.shared_shingles, 0) >= {CONTAM_MIN_OVERLAP} AS contaminated
+FROM documents d LEFT JOIN ov ON d.doc_id = ov.doc_id
+"""
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), min_jaccard=0.2).select(
         "doc_a", "doc_b", F.col("inter").cast("long").alias("inter"), "jaccard"
@@ -1031,6 +1048,15 @@ SELECT doc_id,
             ELSE 0.0 END AS dup_gram_fraction
 FROM g
 """
+
+
+def q_contamination(spark, sf_dir):
+    """benchmark decontamination: flag docs sharing ≥ K shingles with the
+    (synthetic) held-out set doc_id ≡ 0 (mod 97); eval shingles
+    broadcast, corpus scanned once."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_ids = docs.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select("doc_id")
+    return dedup.contamination(docs, eval_ids, min_overlap=CONTAM_MIN_OVERLAP)
 
 
 def q_quality_filter(spark, sf_dir):
@@ -1403,6 +1429,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "q_repetition": (q_repetition, SQL_REPETITION),
     "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "q_contamination": (q_contamination, SQL_CONTAMINATION),
     # similarity
     "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "q_ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
