@@ -96,3 +96,22 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     never the reverse (corpus side must stream)."""
     plan = plan_of(Q.QUERIES["q_cosine_topk"][0](spark, sf_dir))
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_curation_filters_are_single_scan_no_python(spark, sf_dir):
+    """quality_filter / repetition / token_counts / lang_id must stay one
+    scan + project: no shuffle Exchange, no Python runner — at 100 TB the
+    filter IS the scan."""
+    for name in ("q_quality_filter", "q_repetition", "q_token_counts", "q_lang_id"):
+        fn, _ = Q.QUERIES[name]
+        plan = plan_of(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "Exchange hashpartitioning" not in plan, name
+
+
+def test_contamination_broadcasts_eval_shingles(spark, sf_dir):
+    """decontamination: the small eval-shingle side broadcasts; the
+    corpus shingle explode is never shuffled by shingle."""
+    plan = plan_of(Q.QUERIES["q_contamination"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
