@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.udfs import normalize_seed_udf, url_identity_udf
 
-__all__ = ["seed_ingest_stream", "trace_window_stream"]
+__all__ = ["seed_ingest_stream", "trace_window_stream", "host_counter_stream"]
 
 
 def seed_ingest_stream(
@@ -117,6 +117,69 @@ def trace_window_stream(
         agg.writeStream.outputMode("append")
         .format("parquet")
         .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def host_counter_stream(
+    spark: SparkSession,
+    trace_dir: str,
+    checkpoint_dir: str,
+    out_dir: str,
+):
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    per-host running crawl counters over the trace stream — events seen,
+    pages fetched, last active wave — maintained as typed per-key state
+    across micro-batches (the crawl-monitoring analogue of the
+    reference's per-host bookkeeping, kept by the engine instead of a
+    hand-rolled KVS row per host, ``Crawler.java:676-678``).
+
+    Arbitrary-state semantics rather than a windowed agg: the counter
+    never expires (NoTimeout), survives across batches via the state
+    store, and each batch emits the updated row for exactly the touched
+    hosts (output mode ``update``, landed via foreachBatch appends — the
+    parquet sink itself cannot take update mode). State rows are O(one
+    host) each and partitioned by the groupBy key, so a 10^7-host crawl
+    shards its state across the cluster like any keyed aggregation."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = "wave int, url string, url_hash string, host string, depth int, outcome string"
+    src = spark.readStream.schema(schema).parquet(trace_dir)
+
+    out_type = "host string, events long, fetched long, last_wave int"
+    state_type = "events long, fetched long, last_wave int"
+
+    def update(key, pdfs, state: GroupState):
+        events, fetched, last_wave = state.get if state.exists else (0, 0, -1)
+        for pdf in pdfs:
+            events += len(pdf)
+            fetched += int((pdf["outcome"] == "fetched").sum())
+            if len(pdf):
+                last_wave = max(last_wave, int(pdf["wave"].max()))
+        state.update((events, fetched, last_wave))
+        yield pd.DataFrame(
+            {
+                "host": [key[0]],
+                "events": [events],
+                "fetched": [fetched],
+                "last_wave": [last_wave],
+            }
+        )
+
+    counters = src.groupBy("host").applyInPandasWithState(
+        update, out_type, state_type, "update", GroupStateTimeout.NoTimeout
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    return (
+        counters.writeStream.outputMode("update")
+        .foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

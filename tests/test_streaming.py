@@ -94,3 +94,47 @@ def test_trace_window_stream(spark, tmp_path, crawler):
     trace = crawler.cat.read(spark, "trace")
     expected = trace.where("wave < 2").count()
     assert total == expected
+
+
+def test_host_counter_stateful_stream(spark, tmp_path):
+    """applyInPandasWithState: per-host counters must accumulate across
+    micro-batches AND across query restarts (state store persistence) —
+    two installments of trace files, two availableNow runs, final
+    counters must equal the batch groupBy over everything."""
+    from pyspark.sql import functions as F
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.streaming.crawl_stream import (
+        host_counter_stream,
+    )
+
+    trace_dir = str(tmp_path / "trace")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "wave int, url string, url_hash string, host string, depth int, outcome string"
+
+    def rows(wave, host, n_fetched, n_other):
+        return [
+            (wave, f"http://{host}/p{i}", f"h{host}{wave}{i}", host, 1, "fetched")
+            for i in range(n_fetched)
+        ] + [
+            (wave, f"http://{host}/q{i}", f"g{host}{wave}{i}", host, 1, "redirect")
+            for i in range(n_other)
+        ]
+
+    batch1 = rows(0, "a.test", 3, 1) + rows(0, "b.test", 2, 0)
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(trace_dir)
+    host_counter_stream(spark, trace_dir, ckpt, out).awaitTermination(120)
+
+    batch2 = rows(1, "a.test", 1, 2) + rows(1, "c.test", 4, 0)
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(trace_dir)
+    host_counter_stream(spark, trace_dir, ckpt, out).awaitTermination(120)
+
+    # latest emitted row per host = the running totals incl. both batches
+    w = spark.read.parquet(out)
+    latest = {
+        r["host"]: (r["events"], r["fetched"], r["last_wave"])
+        for r in w.orderBy("events").collect()  # later rows have ≥ events
+    }
+    assert latest["a.test"] == (7, 4, 1)   # 4+3 events across both runs
+    assert latest["b.test"] == (2, 2, 0)
+    assert latest["c.test"] == (4, 4, 1)
