@@ -68,6 +68,59 @@ def _cmd_bench_crawl(args) -> None:
     print(json.dumps(res))
 
 
+def _cmd_curate(args) -> None:
+    """End-to-end training-data curation pass over a documents parquet:
+    quality filter → exact dedup → near-dup clustering (shingle Jaccard
+    → connected components) → per-language stratified quota — printing
+    the funnel counts at each stage (the pipeline a 100-TB corpus would
+    run, at toy scale)."""
+    from pyspark.sql import functions as F
+
+    from .operators import dedup, textops
+    from .session import get_spark
+
+    spark = get_spark("cli-curate", cores=args.cores, shuffle_partitions=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.input)
+    total = docs.count()
+
+    qf = textops.quality_filter(docs)
+    kept_q = qf.where(F.col("keep"))
+    n_quality = kept_q.count()
+    docs_q = docs.join(kept_q.select("doc_id"), "doc_id")
+
+    ex = dedup.exact_dedup(docs_q)
+    docs_e = docs_q.join(
+        ex.where(~F.col("is_dup")).select("doc_id"), "doc_id"
+    )
+    n_exact = docs_e.count()
+
+    pairs = dedup.ngram_jaccard_pairs(docs_e, min_jaccard=args.min_jaccard)
+    comp = dedup.dup_components(pairs, id_a="doc_a", id_b="doc_b")
+    # keep each component's canonical (minimum-id) member
+    drop = comp.where(F.col("vec_id") != F.col("component")).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    docs_n = docs_e.join(drop, "doc_id", "left_anti")
+    n_neardup = docs_n.count()
+
+    sampled = textops.stratified_sample(docs_n, quota=args.quota)
+    n_final = sampled.count()
+
+    print(f"documents:            {total}")
+    print(f"after quality filter: {n_quality}")
+    print(f"after exact dedup:    {n_exact}")
+    print(f"after near-dup drop:  {n_neardup}")
+    print(f"after lang quota:     {n_final}")
+    for r in sampled.groupBy("lang").count().orderBy("lang").collect():
+        print(f"  {r['lang']}: {r['count']}")
+    if args.out:
+        docs_n.join(sampled.select("doc_id"), "doc_id").write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(f"curated parquet: {args.out}")
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="distributed_web_search_engine_crawler_indexing_pagerank__spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -94,6 +147,18 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--cores", type=int, default=8)
     b.add_argument("--checkpoint-interval", type=int, default=4)
     b.set_defaults(fn=_cmd_bench_crawl)
+
+    cu = sub.add_parser(
+        "curate",
+        help="training-data curation funnel over a documents parquet "
+        "(quality filter -> exact dedup -> near-dup clustering -> lang quota)",
+    )
+    cu.add_argument("--input", default="/root/testdata/sf0.01/documents.parquet")
+    cu.add_argument("--min-jaccard", type=float, default=0.5)
+    cu.add_argument("--quota", type=int, default=40)
+    cu.add_argument("--cores", type=int, default=8)
+    cu.add_argument("--out", default=None)
+    cu.set_defaults(fn=_cmd_curate)
 
     args = ap.parse_args(argv)
     args.fn(args)
