@@ -181,22 +181,52 @@ class Catalog:
         try:
             os.close(os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
         except FileExistsError:
-            committed = {s["snapshot_id"] for s in manifest["snapshots"]}
+            # The data write above can take arbitrarily long, so the
+            # manifest loaded at the top of write() may be stale — judging
+            # "orphan" from it could erase a commit that landed mid-write.
+            # Re-load from disk before deciding anything.
+            fresh = self._load_manifest(name)
+            committed = {s["snapshot_id"] for s in fresh["snapshots"]}
+            if snap_id in committed:
+                raise CommitConflict(
+                    f"table {name!r}: snapshot {snap_id} was committed by a "
+                    "concurrent writer — reload and retry"
+                ) from None
             try:
-                stale = (
-                    snap_id not in committed
-                    and time.time() - os.path.getmtime(guard) > STALE_GUARD_SECONDS
-                )
+                stale = time.time() - os.path.getmtime(guard) > STALE_GUARD_SECONDS
             except OSError:
-                stale = False
+                stale = False  # guard vanished mid-check: treat as live claim
             if not stale:
                 raise CommitConflict(
                     f"table {name!r}: snapshot {snap_id} already claimed by a "
                     "concurrent writer — reload and retry"
                 ) from None
-            # orphan guard from a crashed writer: take over its claim
-            # (the manifest was never updated, so no snapshot is lost)
-            os.utime(guard)
+            # Orphan guard from a crashed writer: take it over ATOMICALLY —
+            # unlink the dead claim, then retry the O_EXCL create. If two
+            # resumed writers race the takeover, exactly one wins the
+            # re-create; the other gets FileExistsError and loses.
+            try:
+                os.unlink(guard)
+            except OSError:
+                pass
+            try:
+                os.close(os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
+                raise CommitConflict(
+                    f"table {name!r}: lost the takeover race for orphaned "
+                    f"snapshot guard {snap_id} — reload and retry"
+                ) from None
+        # Post-claim verification: between our top-of-write() manifest load
+        # and the claim, another writer's guard for snap_id may have been
+        # claimed, committed, AND vacuumed away (so our O_EXCL succeeded on
+        # a recycled name). Re-load and bail if the snapshot chain moved.
+        manifest = self._load_manifest(name)
+        if any(s["snapshot_id"] >= snap_id for s in manifest["snapshots"]):
+            raise CommitConflict(
+                f"table {name!r}: snapshot {snap_id} was committed while this "
+                "writer was staging data — reload and retry"
+            )
+        parent = self.current_snapshot(name)
         if mode == "append" and parent is not None:
             dirs = parent.data_dirs + dirs
         snap = Snapshot(

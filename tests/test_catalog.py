@@ -135,3 +135,81 @@ def test_crash_mid_data_write_leaves_no_guard(spark, cat):
     assert [r["x"] for r in cat.read(spark, "t").collect()] == [2]
     cat.vacuum("t")
     assert not os.path.exists(orphan)
+
+def test_slow_writer_cannot_erase_committed_snapshot(spark, cat):
+    """Lost-update window (r3 ADVICE high): writer B loads the manifest,
+    then spends > STALE_GUARD_SECONDS on its data write while writer A
+    commits the same snapshot id. B must NOT judge A's consumed guard
+    'orphaned' from its stale manifest view and os.replace A's commit
+    away — the guard handler re-loads the manifest from disk and raises
+    CommitConflict because the id is now committed."""
+    import copy
+    import time as _time
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog import (
+        STALE_GUARD_SECONDS,
+        CommitConflict,
+    )
+
+    cat.write("t", _df(spark, [1]))
+    stale_manifest = copy.deepcopy(cat._load_manifest("t"))  # B's view: id 2 free
+    cat.write("t", _df(spark, [100]))  # A commits snapshot 2 mid-B's-write
+    guard = os.path.join(cat._table_dir("t"), ".commit-000002")
+    assert os.path.exists(guard)
+    old = _time.time() - (STALE_GUARD_SECONDS + 5)
+    os.utime(guard, (old, old))  # B's data write took this long
+    real_load = cat._load_manifest
+    calls = {"n": 0}
+
+    def load_stale_then_real(name):
+        calls["n"] += 1
+        # B's top-of-write() manifest + parent loads see the stale view
+        return copy.deepcopy(stale_manifest) if calls["n"] <= 2 else real_load(name)
+
+    cat._load_manifest = load_stale_then_real
+    try:
+        with pytest.raises(CommitConflict):
+            cat.write("t", _df(spark, [2]))
+    finally:
+        del cat.__dict__["_load_manifest"]
+    # A's snapshot survives, B's retry (fresh manifest) lands as id 3
+    assert [r["x"] for r in cat.read(spark, "t").collect()] == [100]
+    cat.write("t", _df(spark, [2]))
+    assert [r["x"] for r in cat.read(spark, "t").collect()] == [2]
+    assert cat.current_snapshot("t").snapshot_id == 3
+
+
+def test_orphan_guard_takeover_is_atomic(spark, cat):
+    """Two resumed writers racing to reclaim the same crashed guard:
+    takeover is unlink + O_EXCL re-create, so exactly one wins; the
+    loser sees FileExistsError on the re-create and gets CommitConflict."""
+    import time as _time
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog import (
+        STALE_GUARD_SECONDS,
+        CommitConflict,
+    )
+
+    cat.write("t", _df(spark, [1]))
+    nxt = cat.current_snapshot("t").snapshot_id + 1
+    guard = os.path.join(cat._table_dir("t"), f".commit-{nxt:06d}")
+    open(guard, "w").close()
+    old = _time.time() - (STALE_GUARD_SECONDS + 5)
+    os.utime(guard, (old, old))
+    # simulate the rival resumed writer winning the re-create: after this
+    # writer unlinks the stale guard, the rival's O_EXCL lands first
+    real_unlink = os.unlink
+
+    def unlink_then_rival_claims(path, *a, **kw):
+        real_unlink(path, *a, **kw)
+        if os.path.basename(path).startswith(".commit-"):
+            open(path, "w").close()  # rival's fresh (recent-mtime) claim
+
+    import unittest.mock as mock
+
+    with mock.patch("distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog.os.unlink", side_effect=unlink_then_rival_claims):
+        with pytest.raises(CommitConflict):
+            cat.write("t", _df(spark, [2]))
+    # the rival's claim survives; state unchanged
+    assert os.path.exists(guard)
+    assert [r["x"] for r in cat.read(spark, "t").collect()] == [1]
