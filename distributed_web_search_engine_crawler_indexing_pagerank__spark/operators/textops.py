@@ -53,6 +53,24 @@ def tokens_col(col: Column) -> Column:
     return F.split(F.trim(col), WS_PATTERN)
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark byte-size conf values accept suffixes ('128m', '1g', '256MB')
+    — parse them like Spark's JavaUtils.byteStringAs (base 1024); fall
+    back to the 128 MB default on anything unrecognized rather than
+    crashing every spread()-using operator (r3 ADVICE)."""
+    s = str(v).strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40, "p": 1 << 50}
+    try:
+        if s and s[-1].isdigit():
+            return int(s)
+        num = s.rstrip("b").rstrip()
+        if num and num[-1] in units:
+            return int(float(num[:-1]) * units[num[-1]])
+        return int(float(num))
+    except (ValueError, IndexError):
+        return 128 << 20
+
+
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Ensure at least ``min_parts`` (default: cluster parallelism)
     scan tasks before a CPU-heavy per-row kernel.
@@ -75,7 +93,9 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     files = df.inputFiles()
     if not files:
         return df
-    max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+    max_split = _parse_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
     splits = 0
     for f in files:
         path = f[len("file:"):] if f.startswith("file:") else f

@@ -48,7 +48,7 @@ from collections.abc import Iterable
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
@@ -147,7 +147,7 @@ class BloomShards:
         rows = seen.select(F.col("url_hash"), shard.alias("shard"))
         m, n_shards = self.m, self.n_shards
 
-        def per_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def per_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             bm = np.zeros(m // 8, dtype=np.uint8)
             _set_bits(bm, pdf["url_hash"].to_numpy())
             return pd.DataFrame(
@@ -221,7 +221,14 @@ class BloomShards:
         return clean.unionByName(verified)
 
 
-_BLOOM_ROW_SCHEMA = "shard int, m long, bitmap binary, n_keys long"
+_BLOOM_ROW_SCHEMA = "shard int, m long, bitmap binary, n_keys long, _v long"
+
+# Rewrite the shard table in full after this many incremental (dirty-
+# shard delta) fold commits — bounds merge-on-read resolution at
+# ~(1 + COMPACT_EVERY) rows per shard while keeping per-commit write
+# volume O(dirty shards). Mirrors the hosts-delta pattern
+# (crawl.py HOSTS_COMPACT_EVERY).
+BLOOM_COMPACT_EVERY = 8
 
 
 class BloomStore:
@@ -248,14 +255,23 @@ class BloomStore:
       copy before probing — zero false negatives across a fast-path
       checkpoint interval, still with no driver round-trip.
     - **update**: at each durable commit the interval's additions are
-      folded into their shards by the same cogroup shape and the table
-      is rewritten as a new snapshot (write volume = one pass over the
-      shard rows; dirty-only delta commits are a straightforward
-      refinement once the catalog is Iceberg with MERGE).
+      folded into their shards by the same cogroup shape and ONLY the
+      dirty shards' new rows are APPENDED, stamped with a monotonic
+      version ``_v``; reads resolve latest-wins per shard. Every
+      ``BLOOM_COMPACT_EVERY`` delta commits the resolved table is
+      rewritten in full (compaction), bounding the merge-on-read row
+      count — the same base + deltas + compaction shape as the hosts
+      table, and the reference's one-row-per-touched-key write profile
+      (``src/kvs/KVSClient.java:259-282``).
 
     ``n_keys``/``m`` mirror :class:`BloomShards` so capacity planning
     (``ensure_capacity`` — ≥ BITS_PER_KEY bits/key, power-of-two m,
     2× headroom, exact rebuild from the seen ledger) works identically.
+    ``n_keys`` counts the FOLDED (durable) population and is recomputed
+    from the committed shard rows at every fold/rebuild (never
+    accumulated across calls — the r3 overcount); ``n_pending`` counts
+    staged-interval additions not yet folded, maintained by the caller,
+    and both feed ``ensure_capacity``.
     """
 
     def __init__(
@@ -265,6 +281,7 @@ class BloomStore:
         bits_per_shard: int = 1 << 17,
         table: str = "bloom",
         broadcast_threshold: int = 64 << 20,
+        compact_every: int = BLOOM_COMPACT_EVERY,
     ):
         assert bits_per_shard & (bits_per_shard - 1) == 0, "m must be a power of 2"
         self.cat = catalog
@@ -276,25 +293,62 @@ class BloomStore:
         # mirroring autoBroadcastJoinThreshold), probe map-side against a
         # broadcast of the table (no candidate shuffle — the filter is
         # small, so shipping it to the data wins); past the threshold,
-        # shard-route (cogroup) so per-task memory stays O(one shard).
+        # shard-route (cogroup) so per-task memory stays O(one shard's
+        # delta chain).
         # The broadcast is rebuilt only when the table snapshot changes
         # (once per durable interval), never per wave.
         self.broadcast_threshold = broadcast_threshold
+        self.compact_every = compact_every
         self.n_keys = 0
+        self.n_pending = 0
         self._bc: tuple[int | None, int, object] | None = None
+        self._ver = 0
+        self._commits_since_compact = 0
+        self._ver_synced = False
 
     # -- table io ----------------------------------------------------------
-    def bitmaps_df(self, spark: SparkSession) -> DataFrame:
+    def _raw_df(self, spark: SparkSession) -> DataFrame:
+        """All committed shard rows, base + deltas (may hold several
+        versions per shard between compactions)."""
         if self.cat.exists(self.table):
             return self.cat.read(spark, self.table)
         return spark.createDataFrame([], _BLOOM_ROW_SCHEMA)
 
-    def _commit(self, rows: DataFrame, properties: dict) -> None:
-        self.cat.write(
-            self.table,
-            rows,
-            properties={"m": self.m, "n_keys": self.n_keys, **properties},
+    def bitmaps_df(self, spark: SparkSession) -> DataFrame:
+        """Latest-wins resolved view: exactly one row per shard."""
+        w = Window.partitionBy("shard").orderBy(F.desc("_v"))
+        return (
+            self._raw_df(spark)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
         )
+
+    def _sync_ver(self) -> None:
+        """Restore the monotonic version + compaction counters from the
+        current table snapshot (resume path)."""
+        if self._ver_synced:
+            return
+        self._ver_synced = True
+        snap = (
+            self.cat.current_snapshot(self.table) if self.cat.exists(self.table) else None
+        )
+        if snap is not None:
+            self._ver = int(snap.properties.get("ver", 0))
+            self._commits_since_compact = int(
+                snap.properties.get("delta_commits", 0)
+            )
+
+    def _recount_keys(self, spark: SparkSession) -> None:
+        """``n_keys`` from the committed shard rows (latest-wins sum) —
+        a column-pruned read of a tiny table, never an accumulation
+        (the r3 ADVICE overcount: accumulating per-call row counts
+        double-counted a staged interval after a mid-interval rebuild)."""
+        total = (
+            self.bitmaps_df(spark).agg(F.sum("n_keys").alias("t")).first()["t"]
+        )
+        self.n_keys = int(total or 0)
+        self.cat.update_properties(self.table, {"m": self.m, "n_keys": self.n_keys})
 
     # -- build / update ----------------------------------------------------
     def build_from_seen(
@@ -305,11 +359,14 @@ class BloomStore:
         live and the result is committed as a table — the driver moves
         only the commit metadata."""
         spark = seen.sparkSession
+        self._sync_ver()
         shard = shard_of_host(F.col(host_col), self.n_shards)
         rows = seen.select(F.col("url_hash"), shard.alias("shard"))
         m = self.m
+        self._ver += 1
+        ver = self._ver
 
-        def per_shard(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        def per_shard(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             bm = np.zeros(m // 8, dtype=np.uint8)
             _set_bits(bm, pdf["url_hash"].to_numpy())
             return pd.DataFrame(
@@ -318,36 +375,80 @@ class BloomStore:
                     "m": [m],
                     "bitmap": [bm.tobytes()],
                     "n_keys": [len(pdf)],
+                    "_v": [ver],
                 }
             )
 
         built = rows.groupBy("shard").applyInPandas(per_shard, _BLOOM_ROW_SCHEMA)
         # count via the tiny (n_shards-row) result, not the big input
-        self.cat.write(self.table, built, properties=dict(properties or {}))
-        totals = self.bitmaps_df(spark).agg(F.sum("n_keys").alias("t")).first()
-        self.n_keys = int(totals["t"] or 0)
-        self.cat.update_properties(self.table, {"m": self.m, "n_keys": self.n_keys})
+        self.cat.write(
+            self.table,
+            built,
+            properties={
+                "ver": ver,
+                "delta_commits": 0,
+                "compacted": True,
+                **dict(properties or {}),
+            },
+        )
+        self._commits_since_compact = 0
+        self._recount_keys(spark)
 
     def fold_additions(
         self,
         additions: DataFrame,
         host_col: str = "host",
         properties: dict | None = None,
+        dirty_shards: list[int] | None = None,
     ) -> None:
         """Fold (url_hash, host) additions into their shards executor-side
-        (cogroup: each task gets one shard's bitmap + its additions) and
-        commit the new shard rows. Shards without additions pass through
-        untouched; shards never seen before start from zeros."""
+        (cogroup: each task gets one shard's latest bitmap + its
+        additions) and APPEND only the dirty shards' new rows (version
+        ``_v``+1) — commit write volume is O(dirty shards), not O(all
+        shards). Every ``compact_every`` delta commits the fold emits
+        every shard and overwrites (compaction). ``dirty_shards``, when
+        the caller tracked it (the crawl's per-shard Observation
+        counters), prunes the bitmap-side scan to the touched shards via
+        a pushed-down IN filter — zero extra jobs.
+
+        Contract: additions must be keys NOT already in the folded
+        ledger (the crawl's seen-additions are exact-deduped upstream);
+        per-shard ``n_keys`` adds ``len(additions)`` under that contract
+        and ``self.n_keys`` is recomputed from the committed rows."""
         spark = additions.sparkSession
+        self._sync_ver()
         shard = shard_of_host(F.col(host_col), self.n_shards)
         adds = additions.select(F.col("url_hash"), shard.alias("shard"))
-        right = self.bitmaps_df(spark)
+        compacting = self._commits_since_compact >= self.compact_every
+        right = self._raw_df(spark)
+        if dirty_shards is not None and not compacting:
+            # pushed-down row-group pruning on the tiny shard table
+            right = right.where(F.col("shard").isin([int(s) for s in dirty_shards]))
         m_default = self.m
+        self._ver += 1
+        ver = self._ver
+        emit_all = compacting
 
-        def fold(key, adds_pdf: pd.DataFrame, bm_pdf: pd.DataFrame) -> pd.DataFrame:
+        def fold(
+            key: tuple, adds_pdf: pd.DataFrame, bm_pdf: pd.DataFrame
+        ) -> pd.DataFrame:
+            if not len(adds_pdf) and not emit_all:
+                # clean shard on a delta commit: no row — the previous
+                # version stays current under latest-wins
+                return pd.DataFrame(
+                    {"shard": [], "m": [], "bitmap": [], "n_keys": [], "_v": []}
+                )
             if len(bm_pdf):
-                bm = np.frombuffer(bm_pdf["bitmap"].iloc[0], dtype=np.uint8).copy()
-                base = int(bm_pdf["n_keys"].iloc[0])
+                # latest-wins within the task: one row per committed
+                # version; duplicates mean the delta chain double-read
+                if bm_pdf["_v"].nunique() != len(bm_pdf):
+                    raise AssertionError(
+                        f"shard {int(key[0])}: duplicate bitmap versions in one "
+                        "fold task — delta chain corrupt"
+                    )
+                top = bm_pdf.loc[bm_pdf["_v"].idxmax()]
+                bm = np.frombuffer(top["bitmap"], dtype=np.uint8).copy()
+                base = int(top["n_keys"])
             else:
                 bm = np.zeros(m_default // 8, dtype=np.uint8)
                 base = 0
@@ -359,6 +460,7 @@ class BloomStore:
                     "m": [len(bm) * 8],
                     "bitmap": [bm.tobytes()],
                     "n_keys": [base + len(adds_pdf)],
+                    "_v": [ver],
                 }
             )
 
@@ -367,16 +469,36 @@ class BloomStore:
             .cogroup(right.groupBy("shard"))
             .applyInPandas(fold, _BLOOM_ROW_SCHEMA)
         )
-        self._commit(out, dict(properties or {}))
+        props = {"ver": ver, **dict(properties or {})}
+        if compacting:
+            self.cat.write(
+                self.table,
+                out,
+                properties={**props, "delta_commits": 0, "compacted": True},
+            )
+            self._commits_since_compact = 0
+        else:
+            self._commits_since_compact += 1
+            self.cat.write(
+                self.table,
+                out,
+                mode="append",
+                properties={**props, "delta_commits": self._commits_since_compact},
+            )
+        self._recount_keys(spark)
+        self.n_pending = 0
 
     def ensure_capacity(
         self, seen: DataFrame, expected_new: int = 0, host_col: str = "host"
     ) -> bool:
         """Grow shards (power-of-two m, 2× headroom) and rebuild from the
-        ledger when bits/key would drop below BITS_PER_KEY. ``self.n_keys``
-        is the driver-tracked population (kept in sync from the crawl's
-        per-wave Observation counters + snapshot properties)."""
-        needed_bits = BITS_PER_KEY * (self.n_keys + expected_new)
+        ledger when bits/key would drop below BITS_PER_KEY. Sizing counts
+        the folded population (``n_keys``, recomputed from the committed
+        rows) plus staged-interval additions (``n_pending``, bumped by
+        the caller's per-wave Observation counters). ``seen`` should be
+        the COMMITTED ledger — staged additions keep riding into probes
+        as pending rows, so a committed-only rebuild stays exact."""
+        needed_bits = BITS_PER_KEY * (self.n_keys + self.n_pending + expected_new)
         if self.m * self.n_shards >= needed_bits:
             return False
         new_m = self.m
@@ -395,47 +517,58 @@ class BloomStore:
     ) -> DataFrame:
         """→ candidates + ``_maybe`` boolean (False ⇒ definitely new).
         Candidates are shuffled by shard; each task sees one shard's
-        bitmap row (plus that shard's pending additions) and its
-        candidate rows — never another shard's bytes."""
+        bitmap delta chain (≤ 1 + compact_every rows, resolved
+        latest-wins in-task — no extra shuffle) plus that shard's
+        pending additions and its candidate rows — never another
+        shard's bytes."""
         spark = candidates.sparkSession
         cand = candidates.withColumn(
             "_shard", shard_of_host(F.col(host_col), self.n_shards)
         )
-        right = self.bitmaps_df(spark).select(
-            "shard", "m", "bitmap", F.lit(None).cast("string").alias("url_hash")
+        right = self._raw_df(spark).select(
+            "shard", "m", "bitmap", "_v", F.lit(None).cast("string").alias("url_hash")
         )
         if pending is not None:
             pend = pending.select(
                 shard_of_host(F.col(host_col), self.n_shards).alias("shard"),
                 F.lit(None).cast("long").alias("m"),
                 F.lit(None).cast("binary").alias("bitmap"),
+                F.lit(None).cast("long").alias("_v"),
                 "url_hash",
             )
             right = right.unionByName(pend)
         m_default = self.m
+        max_chain = 1 + self.compact_every
         out_fields = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
         )
         out_schema = f"{out_fields}, _maybe boolean"
         cand_cols = [f.name for f in candidates.schema.fields]
 
-        def probe(key, cand_pdf: pd.DataFrame, right_pdf: pd.DataFrame) -> pd.DataFrame:
+        def probe(
+            key: tuple, cand_pdf: pd.DataFrame, right_pdf: pd.DataFrame
+        ) -> pd.DataFrame:
             res = cand_pdf[cand_cols].copy()
             if not len(cand_pdf):
                 res["_maybe"] = np.empty(0, dtype=bool)
                 return res
             bm_rows = right_pdf[right_pdf["bitmap"].notna()] if len(right_pdf) else right_pdf
-            # the O(one-shard) guarantee: a probe task must never see a
-            # second shard's bytes (one bitmap row per shard by
-            # construction; violating it means the shard routing broke)
-            if len(bm_rows) > 1:
+            # the O(one-shard) guarantee: a probe task holds one shard's
+            # bounded delta chain, one committed row per version —
+            # duplicate versions or an over-length chain mean the shard
+            # routing / compaction schedule broke
+            if len(bm_rows) > max_chain or (
+                len(bm_rows) and bm_rows["_v"].nunique() != len(bm_rows)
+            ):
                 raise AssertionError(
                     f"shard {int(key[0])}: {len(bm_rows)} bitmap rows in one "
-                    "probe task — shard routing must deliver exactly one"
+                    f"probe task (bound {max_chain}, versions must be unique) "
+                    "— delta chain corrupt"
                 )
             if len(bm_rows):
-                bm = np.frombuffer(bm_rows["bitmap"].iloc[0], dtype=np.uint8)
-                m = int(bm_rows["m"].iloc[0])
+                top = bm_rows.loc[bm_rows["_v"].idxmax()]
+                bm = np.frombuffer(top["bitmap"], dtype=np.uint8)
+                m = int(top["m"])
             else:
                 bm, m = None, m_default
             pend = (
@@ -470,10 +603,22 @@ class BloomStore:
             return self._bc[2]
         arr = np.zeros((self.n_shards, self.m // 8), dtype=np.uint8)
         if sid is not None:
+            best: dict[int, int] = {}
             for r in self.cat.read(spark, self.table).collect():
+                if best.get(r["shard"], -1) >= r["_v"]:
+                    continue  # latest-wins across the delta chain
+                best[r["shard"]] = r["_v"]
                 bm = np.frombuffer(r["bitmap"], dtype=np.uint8)
                 assert len(bm) * 8 == self.m, "bitmap row at stale m — rebuild required"
                 arr[r["shard"]] = bm
+        if self._bc is not None:
+            # the JVM ContextCleaner reclaims dropped broadcasts only at
+            # GC pressure — destroy the superseded one explicitly or a
+            # long crawl accumulates up to 64 MB per durable interval
+            try:
+                self._bc[2].destroy()
+            except Exception:
+                pass  # already destroyed / context gone — nothing to free
         bc = spark.sparkContext.broadcast(arr)
         self._bc = (sid, self.m, bc)
         return bc

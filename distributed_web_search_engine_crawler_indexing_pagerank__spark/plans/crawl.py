@@ -173,6 +173,10 @@ class SparkCrawler:
         # commit joins these against the current hosts state so each
         # durable snapshot appends only O(touched) host rows.
         self._dirty_hosts: list[DataFrame] = []
+        # bloom shards touched since the last durable fold (from the
+        # per-wave Observation counters) — lets the fold prune its
+        # bitmap-side scan and append O(dirty shards) rows
+        self._dirty_shards: set[int] = set()
         self._hosts_ver = 0  # monotonic hosts version (latest-wins reads)
         self._hosts_commits_since_compact = 0
         # checkpointed proc frames kept alive while fast-path trace
@@ -589,8 +593,13 @@ class SparkCrawler:
         # discipline: a stage must never chain two Arrow runners per task
         # (2×cores simultaneous workers = spawn storm at high core counts).
         # keep ≥10 bits/key before probing: grows shards (power-of-two) and
-        # rebuilds exactly from the ledger when the filter would saturate.
-        self.bloom.ensure_capacity(seen.withColumn("host", host_key_col(F.col("url"))))
+        # rebuilds exactly from the COMMITTED ledger when the filter would
+        # saturate (staged-interval rows stay covered by the probe's
+        # pending set, and counted via n_pending — never rebuilt-in, so
+        # the durable fold can't double-count them).
+        self.bloom.ensure_capacity(
+            self.cat.read(spark, "seen").withColumn("host", host_key_col(F.col("url")))
+        )
         # shard-routed probe: candidates cogroup with shard-local bitmap
         # rows; seen-additions staged since the last durable snapshot ride
         # in as pending rows (the bitmap table is only folded at durable
@@ -651,8 +660,14 @@ class SparkCrawler:
         seen_dir = self.cat.stage_data("seen", seen_staged)
         seen_metrics = obs_seen.get
         self._tick("seen_stage")
-        self.bloom.n_keys += int(seen_metrics["n"])
+        # staged-interval additions count as PENDING (folded — and moved
+        # into n_keys — at the durable commit); the by-shard counters also
+        # tell the fold exactly which shards are dirty this interval.
+        self.bloom.n_pending += int(seen_metrics["n"])
         seen_by_shard = _metrics_to_shards(seen_metrics, n_shards)
+        self._dirty_shards.update(
+            int(s) for s, n in seen_by_shard.items() if int(n) > 0
+        )
 
         # (6) deferred per-shard counters ride as Observation metrics on
         # the frontier's materializing action (crawl counters already
@@ -763,7 +778,10 @@ class SparkCrawler:
         additions = self.spark.read.parquet(*seen_dirs).withColumn(
             "host", host_key_col(F.col("url"))
         )
-        self.bloom.fold_additions(additions, properties=base_props)
+        self.bloom.fold_additions(
+            additions, properties=base_props, dirty_shards=sorted(self._dirty_shards)
+        )
+        self._dirty_shards = set()
 
         for df in self._keep:
             df.unpersist()
@@ -809,7 +827,9 @@ class SparkCrawler:
             additions = self.spark.read.parquet(*self._buf_seen_dirs).withColumn(
                 "host", host_key_col(F.col("url"))
             )
-            self.bloom.fold_additions(additions, properties=props)
+            self.bloom.fold_additions(
+                additions, properties=props, dirty_shards=sorted(self._dirty_shards)
+            )
         if "frontier" in self._mem:
             self._commit_frontier(self._mem["frontier"], self.wave - 1, props)
         if "hosts" in self._mem and self._dirty_hosts:
@@ -821,6 +841,7 @@ class SparkCrawler:
             df.unpersist()
         self._buf_crawl, self._buf_trace, self._buf_seen_dirs = [], [], []
         self._mem, self._keep, self._wave_props, self._dirty_hosts = {}, [], [], []
+        self._dirty_shards = set()
 
     # -- driver loop -------------------------------------------------------------
     def total_pages(self) -> int:

@@ -25,3 +25,18 @@ def test_registry_construction_never_touches_rdd(spark, sf_dir, monkeypatch):
     for name, (fn, _sql) in QUERIES.items():
         df = fn(spark, sf_dir)  # lazy construction (+ any driver-side setup)
         assert df is not None, name
+
+
+def test_parse_bytes_accepts_spark_suffixes():
+    """spark.sql.files.maxPartitionBytes may be set with size suffixes
+    ('128m', '256MB') — spread() must parse them instead of crashing
+    (r3 ADVICE low)."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.textops import (
+        _parse_bytes,
+    )
+
+    assert _parse_bytes("134217728") == 134217728
+    assert _parse_bytes("128m") == 128 << 20
+    assert _parse_bytes("256MB") == 256 << 20
+    assert _parse_bytes("1g") == 1 << 30
+    assert _parse_bytes("not-a-size") == 128 << 20  # safe fallback
