@@ -111,6 +111,13 @@ _REDIRECT_CODES = (301, 302, 303, 307, 308)
 # the live host count while keeping per-commit write volume O(touched).
 HOSTS_COMPACT_EVERY = 8
 
+# Same schedule for the frontier: durable commits append (upserts +
+# consumed-tombstones) = O(wave churn) rows; a full rewrite every K
+# delta commits bounds the merge-on-read resolution. At the north star
+# the frontier is the largest table in the system — rewriting it per
+# durable snapshot (r3) was the remaining O(all-state) write.
+FRONTIER_COMPACT_EVERY = 8
+
 
 class SparkCrawler:
     """Drives the micro-iteration loop over catalog tables.
@@ -179,6 +186,17 @@ class SparkCrawler:
         self._dirty_shards: set[int] = set()
         self._hosts_ver = 0  # monotonic hosts version (latest-wins reads)
         self._hosts_commits_since_compact = 0
+        # frontier merge-on-read state: monotonic version + compaction
+        # schedule + the wave the current durable interval started at
+        # (upsert rows are merged rows whose winning priority carries a
+        # disc_wave from this interval; the staged seen additions are the
+        # tombstone side — selected ∪ retired is exactly what left the
+        # frontier)
+        self._frontier_ver = 0
+        self._frontier_commits_since_compact = 0
+        self._interval_start = 0
+        # True while fast-path state is ahead of the durable tables
+        self._mem_dirty = False
         # checkpointed proc frames kept alive while fast-path trace
         # projections reference them (released at the durable commit)
         self._keep: list[DataFrame] = []
@@ -213,7 +231,8 @@ class SparkCrawler:
             seen_hashes.add(h)
             rows.append((url, h, extract_host_key(url), 0, -1, "", i))
         frontier = self.spark.createDataFrame(rows, FRONTIER_SCHEMA)
-        self._commit_frontier(frontier, wave=-1, counters={"frontier_n": len(rows)})
+        self._write_frontier_full(frontier, {"wave": -1, "frontier_n": len(rows)})
+        self._interval_start = 0
         self._last_frontier_n = len(rows)
         self._pages_total = 0
         empty = self.spark.createDataFrame([], "url_hash string, url string")
@@ -269,6 +288,15 @@ class SparkCrawler:
         hosts_snap = self.cat.current_snapshot("hosts")
         if hosts_snap is not None:
             self._hosts_ver = int(hosts_snap.properties.get("ver", 0))
+        fsnaps = self.cat.snapshots("frontier")
+        self._frontier_ver = int(snap.properties.get("ver", len(fsnaps)))
+        since = 0
+        for s in reversed(fsnaps):
+            if s.properties.get("compacted"):
+                break
+            since += 1
+        self._frontier_commits_since_compact = since
+        self._interval_start = self.wave
         seen = self.cat.read(self.spark, "seen")
         seen_h = seen.withColumn("host", host_key_col(F.col("url")))
         bloom_snap = (
@@ -328,15 +356,81 @@ class SparkCrawler:
             .drop("_rn", "_v")
         )
 
-    def _commit_frontier(self, frontier: DataFrame, wave: int, counters: dict | None = None):
-        # No repartition-by-host here: plain parquet carries no
-        # partitioner metadata Spark SQL could reuse, so a write-side
-        # shuffle buys nothing — the per-host window shuffles on read
-        # regardless (bucketed/Iceberg tables would change that).
+    # -- frontier state (merge-on-read deltas) --------------------------------
+    #
+    # r3 rewrote the WHOLE frontier at every durable snapshot — at the
+    # 10^10-row north star that is the largest O(all-state) write in the
+    # system, where the reference touches one queue row per URL
+    # (src/kvs/KVSClient.java:259-282). Now each durable commit APPENDS
+    # only the wave churn: upsert rows (frontier rows whose winning
+    # priority struct was discovered this interval — identified by a
+    # disc_wave filter on the already-checkpointed merged frame, zero
+    # extra jobs and no fresh-frame buffering) plus tombstone rows for
+    # the interval's consumed url_hashes (selected ∪ retired == the seen
+    # additions, already staged for the Bloom fold). Reads resolve with
+    # the SAME priority-min the in-memory merge applies (min is
+    # associative, consumption is monotone — a seen url_hash can never
+    # re-enter via the Bloom-gated enqueue), then anti-join tombstones.
+    # Every FRONTIER_COMPACT_EVERY delta commits — and once at flush() —
+    # the resolved table is rewritten in full, bounding read-side rows.
+    # No repartition-by-host on the write: plain parquet carries no
+    # partitioner metadata Spark SQL could reuse (bucketed/Iceberg
+    # tables would change that).
+
+    def _write_frontier_full(self, frontier: DataFrame, props: dict) -> None:
+        self._frontier_ver += 1
+        fcols = [f.name for f in FRONTIER_SCHEMA.fields]
         self.cat.write(
             "frontier",
-            frontier,
-            properties={"wave": wave, **(counters or {})},
+            frontier.select(*fcols)
+            .withColumn("_v", F.lit(self._frontier_ver))
+            .withColumn("_tomb", F.lit(False)),
+            properties={**props, "ver": self._frontier_ver, "compacted": True},
+        )
+        self._frontier_commits_since_compact = 0
+
+    def _write_frontier_delta(
+        self, frontier_full: DataFrame, upserts: DataFrame, consumed: DataFrame,
+        props: dict,
+    ) -> None:
+        """Append O(wave churn) rows: upserts + consumed tombstones;
+        compact (full rewrite) on schedule."""
+        if self._frontier_commits_since_compact >= FRONTIER_COMPACT_EVERY:
+            self._write_frontier_full(frontier_full, props)
+            return
+        self._frontier_ver += 1
+        fcols = [f.name for f in FRONTIER_SCHEMA.fields]
+        tombs = consumed.select(
+            *[
+                F.col("url_hash").alias("url_hash")
+                if f.name == "url_hash"
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in FRONTIER_SCHEMA.fields
+            ]
+        ).withColumn("_tomb", F.lit(True))
+        delta = upserts.select(*fcols).withColumn("_tomb", F.lit(False)).unionByName(tombs)
+        self.cat.write(
+            "frontier",
+            delta.withColumn("_v", F.lit(self._frontier_ver)).select(
+                *fcols, "_v", "_tomb"
+            ),
+            mode="append",
+            properties={**props, "ver": self._frontier_ver},
+        )
+        self._frontier_commits_since_compact += 1
+
+    def _read_frontier(self) -> DataFrame:
+        """Resolve the delta-backed frontier: priority-min over base +
+        upsert rows (exactly the in-memory merge), minus tombstoned
+        (consumed) url_hashes appended since the last compaction."""
+        df = self.cat.read(self.spark, "frontier")
+        tombs = df.where(F.col("_tomb")).select("url_hash")
+        return (
+            df.where(~F.col("_tomb"))
+            .groupBy("url_hash")
+            .agg(F.min(F.struct(*PRIORITY_COLS, "url", "host")).alias("_s"))
+            .select("url_hash", "_s.url", "_s.host", *[f"_s.{c}" for c in PRIORITY_COLS])
+            .join(tombs, "url_hash", "left_anti")
         )
 
     # -- one wave --------------------------------------------------------------
@@ -384,7 +478,9 @@ class SparkCrawler:
         t = wave * cfg.wave_seconds
         self._t_last = time.time()
 
-        frontier = self._mem.get("frontier") or self.cat.read(spark, "frontier")
+        frontier = self._mem.get("frontier")
+        if frontier is None:
+            frontier = self._read_frontier()
         hosts_from_mem = "hosts" in self._mem
         hosts = self._mem.get("hosts") or self._read_hosts()
         if not hosts_from_mem:
@@ -700,6 +796,7 @@ class SparkCrawler:
             self._buf_trace.append(trace_add)
             self._buf_seen_dirs.append(seen_dir)
             self._mem = {"frontier": merged_m, "hosts": hosts_m}
+            self._mem_dirty = True
             self._keep.append(proc)
 
         self._tick("commit")
@@ -767,17 +864,26 @@ class SparkCrawler:
             properties=base_props,
             staged_dirs=self._buf_crawl + [crawl_dir],
         )
-        self._commit_frontier(merged_obs, base_props["wave"], base_props)
+        # materialize the next frontier once (resolves the observation,
+        # truncates lineage) and keep it as the in-memory state for the
+        # next wave — the durable table is only re-read at resume().
+        merged_m = merged_obs.localCheckpoint(eager=True)
         deferred = obs_frontier.get
+        additions = self.spark.read.parquet(*seen_dirs).withColumn(
+            "host", host_key_col(F.col("url"))
+        )
+        # upserts: merged rows whose winning priority struct was
+        # (re)discovered this interval — a cached-scan filter, no shuffle.
+        upserts = merged_m.where(F.col("disc_wave") >= self._interval_start)
+        self._write_frontier_delta(
+            merged_m, upserts, additions.select("url_hash"), base_props
+        )
         self.cat.write("seen", None, "append", base_props, staged_dirs=seen_dirs)
         dirty = self._dirty_hosts[0]
         for d in self._dirty_hosts[1:]:
             dirty = dirty.unionByName(d)
         self._write_hosts_delta(hosts_new, dirty, base_props)
         self.cat.write("trace", trace_df, "append", base_props)
-        additions = self.spark.read.parquet(*seen_dirs).withColumn(
-            "host", host_key_col(F.col("url"))
-        )
         self.bloom.fold_additions(
             additions, properties=base_props, dirty_shards=sorted(self._dirty_shards)
         )
@@ -788,7 +894,9 @@ class SparkCrawler:
         self._buf_crawl, self._buf_trace, self._buf_seen_dirs = [], [], []
         self._dirty_hosts = []
         self._keep = []
-        self._mem = {}
+        self._mem = {"frontier": merged_m}
+        self._mem_dirty = False
+        self._interval_start = base_props["wave"] + 1
         return deferred
 
     def _seen_view(self) -> DataFrame:
@@ -802,8 +910,12 @@ class SparkCrawler:
 
     def flush(self) -> None:
         """Force a durable snapshot of any fast-path in-memory state +
-        buffered appends (no-op when already durable)."""
-        if not self._mem and not self._buf_crawl and not self._buf_seen_dirs:
+        buffered appends, and compact the delta-backed frontier (run()
+        exits with a clean single-version table; mid-run durable commits
+        stay O(wave churn)). No-op when already durable and compact."""
+        buffered = bool(self._buf_crawl or self._buf_seen_dirs or self._buf_trace)
+        dirty = self._mem_dirty or buffered
+        if not dirty and not self._mem and self._frontier_commits_since_compact == 0:
             return
         props = {"wave": self.wave - 1, "flushed": True, "waves": self._wave_props,
                  "total_pages": self._pages_total}
@@ -830,18 +942,22 @@ class SparkCrawler:
             self.bloom.fold_additions(
                 additions, properties=props, dirty_shards=sorted(self._dirty_shards)
             )
-        if "frontier" in self._mem:
-            self._commit_frontier(self._mem["frontier"], self.wave - 1, props)
-        if "hosts" in self._mem and self._dirty_hosts:
-            dirty = self._dirty_hosts[0]
+        if self._frontier_commits_since_compact > 0 or (dirty and "frontier" in self._mem):
+            src = self._mem.get("frontier")
+            self._write_frontier_full(
+                src if src is not None else self._read_frontier(), props
+            )
+        if dirty and "hosts" in self._mem and self._dirty_hosts:
+            dirty_h = self._dirty_hosts[0]
             for d in self._dirty_hosts[1:]:
-                dirty = dirty.unionByName(d)
-            self._write_hosts_delta(self._mem["hosts"], dirty, props)
+                dirty_h = dirty_h.unionByName(d)
+            self._write_hosts_delta(self._mem["hosts"], dirty_h, props)
         for df in self._keep + list(self._mem.values()):
             df.unpersist()
         self._buf_crawl, self._buf_trace, self._buf_seen_dirs = [], [], []
         self._mem, self._keep, self._wave_props, self._dirty_hosts = {}, [], [], []
         self._dirty_shards = set()
+        self._mem_dirty = False
 
     # -- driver loop -------------------------------------------------------------
     def total_pages(self) -> int:
@@ -860,7 +976,7 @@ class SparkCrawler:
         snap = self.cat.current_snapshot("frontier")
         if snap is not None and "frontier_n" in snap.properties:
             return int(snap.properties["frontier_n"])
-        return self.cat.read(self.spark, "frontier").count()
+        return self._read_frontier().count()
 
     def run(self, max_waves: int | None = None, verbose: bool = False) -> int:
         """Micro-iterate until target pages, empty frontier, or wave cap;

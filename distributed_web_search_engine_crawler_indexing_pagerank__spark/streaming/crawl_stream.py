@@ -56,16 +56,21 @@ def seed_ingest_stream(
             )
             .dropDuplicates(["url_hash"])
         )
-        frontier = crawler.cat.read(crawler.spark, "frontier")
+        frontier = crawler._read_frontier()
         seen = crawler.cat.read(crawler.spark, "seen")
         fresh = (
             seeds.join(seen.select("url_hash"), "url_hash", "left_anti")
             .join(frontier.select("url_hash"), "url_hash", "left_anti")
             .localCheckpoint(eager=True)  # consumed by frontier AND hosts
         )
+        # O(batch) append: fresh seeds ride in as an upsert DELTA (no
+        # tombstones — nothing is consumed here); the resolved union is
+        # only computed if the write lands on a compaction boundary.
         merged = frontier.unionByName(fresh.select(*frontier.columns))
-        crawler.cat.write(
-            "frontier", merged, properties={"stream_batch": int(batch_id)}
+        no_consumed = crawler.spark.createDataFrame([], "url_hash string")
+        crawler._write_frontier_delta(
+            merged, fresh.select(*frontier.columns), no_consumed,
+            {"stream_batch": int(batch_id)},
         )
         # Hydrate host state for fresh seed hosts: SparkCrawler.step()
         # starts with an inner frontier⨝hosts join (its maintained

@@ -266,3 +266,66 @@ def test_bloom_store_no_eval_type_warnings(spark, cat):
         ).count()
     bad = [w for w in caught if "Cannot infer the eval type" in str(w.message)]
     assert not bad, [str(w.message) for w in bad]
+
+
+def test_frontier_delta_commit_is_o_churn(spark, tmp_path):
+    """Each durable commit appends only the wave's churn — upsert rows
+    whose winning priority was discovered this interval + tombstones for
+    consumed url_hashes (reference: one queue row per URL,
+    src/kvs/KVSClient.java:259-282) — never the whole frontier; reads
+    resolve to exactly the in-memory merged state, and flush() leaves a
+    compacted single-version table."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark import webgen
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.oracle.simulator import (
+        CrawlConfig,
+    )
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.plans.crawl import (
+        SparkCrawler,
+    )
+
+    pages, responses, robots = webgen.gen_web_local(7, 12, 3)
+    resp_df = spark.createDataFrame(responses)
+    robots_df = spark.createDataFrame(robots)
+    cfg = CrawlConfig(target_pages=100, max_waves=4)
+    cat = Catalog(str(tmp_path / "frontcat"))
+    crawler = SparkCrawler(spark, cat, resp_df, robots_df, cfg, n_bloom_shards=4)
+    crawler.init_from_seeds(webgen.seed_urls(7, 12, 3, 4))
+
+    # mid-crawl (before any flush): the delta-backed durable table must
+    # resolve to exactly the in-memory frontier
+    crawler.step()
+    crawler.step()
+    mem = {
+        (r["url_hash"], r["depth"], r["disc_wave"], r["parent_hash"], r["link_idx"])
+        for r in crawler._mem["frontier"].collect()
+    }
+    dur = {
+        (r["url_hash"], r["depth"], r["disc_wave"], r["parent_hash"], r["link_idx"])
+        for r in crawler._read_frontier().collect()
+    }
+    assert mem == dur and mem
+
+    crawler.run(max_waves=3)  # finishes wave 2 + flush-compaction
+
+    snaps = cat.snapshots("frontier")
+    assert snaps[0].properties.get("compacted"), "seed snapshot is the full base"
+    assert snaps[-1].properties.get("compacted"), "flush() compacts at exit"
+    assert any(not s.properties.get("compacted") for s in snaps), (
+        "expected delta commits between base and flush"
+    )
+    resolved = crawler._read_frontier()
+    total = resolved.count()
+    # post-flush the latest snapshot is one row per live url_hash
+    assert cat.read(spark, "frontier").count() == total
+    for prev, snap in zip(snaps, snaps[1:]):
+        if snap.properties.get("compacted"):
+            continue
+        new_dirs = [d for d in snap.data_dirs if d not in set(prev.data_dirs)]
+        assert new_dirs, "append commit must add exactly its delta dirs"
+        drows = spark.read.parquet(*new_dirs)
+        wave = int(snap.properties["wave"])
+        ups = drows.where(~F.col("_tomb"))
+        # upsert side: only rows whose priority was won this interval
+        assert ups.where(F.col("disc_wave") != wave).count() == 0
+        # tombstone side: the wave consumed something (seeds at wave 0)
+        assert drows.where(F.col("_tomb")).count() > 0
