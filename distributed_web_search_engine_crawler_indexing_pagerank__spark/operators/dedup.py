@@ -40,7 +40,7 @@ __all__ = [
     "simhash_pairs",
     "embedding_near_dups",
     "dup_components",
-    "DUP_COMPONENT_ITERS",
+    "DUP_COMPONENT_MAX_ROUNDS",
     "contamination",
 ]
 
@@ -372,51 +372,109 @@ def embedding_near_dups(
 
 # --- near-duplicate clustering (connected components) -----------------------
 
-DUP_COMPONENT_ITERS = 6
+DUP_COMPONENT_MAX_ROUNDS = 50
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star contraction (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"): every node links its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood."""
+    sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star contraction: orient edges large→small; every node
+    links its smaller neighbors (and itself) to their minimum."""
+    oriented = e.select(
+        F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+    )
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        oriented.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .unionAll(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        .distinct()
+    )
 
 
 def dup_components(
     pairs: DataFrame,
     id_a: str = "vec_a",
     id_b: str = "vec_b",
-    iters: int = DUP_COMPONENT_ITERS,
+    max_rounds: int = DUP_COMPONENT_MAX_ROUNDS,
 ) -> DataFrame:
-    """→ (vec_id, component): connected components over near-duplicate
-    pairs by min-label propagation — the step that turns pairwise dedup
-    output into per-document canonical keepers (component = the minimum
-    id reachable within ``iters`` hops; transitive groups a-b, b-c land
-    in one component even though (a, c) was never a candidate pair).
+    """→ (vec_id, component): EXACT connected components over
+    near-duplicate pairs — the step that turns pairwise dedup output
+    into per-document canonical keepers (component = the minimum id in
+    the connected group; transitive chains a-b, b-c land in one
+    component even though (a, c) was never a candidate pair).
 
-    Each iteration is one edge⨝label join + per-vertex min — the classic
-    Pregel-style label propagation as plain DataFrame ops, convergent in
-    O(graph diameter) rounds; near-dup components are tiny (dozens of
-    docs), so a fixed small ``iters`` is exact in practice AND keeps the
-    operator SQL-oracle-able (the oracle unrolls the same iterations, so
-    both engines compute the identical fixpoint prefix). At 10^9-edge
-    scale, swap in the large-star/small-star contraction (halves round
-    count) and checkpoint labels per round to cut lineage — the join
-    shape per round is unchanged."""
-    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    Alternating large-star/small-star contraction (Kiveris et al.),
+    which converges in O(log² n) rounds even on path graphs where plain
+    min-label propagation needs O(diameter) — the 10⁹-edge scale path.
+    Every round's edge set is localCheckpoint-ed so plan depth stays
+    O(1) across rounds (no nested join lineage), and convergence is
+    detected from a one-row signature per round — (count,
+    bit_xor(xxhash64)) over the checkpointed edges — confirmed by an
+    exact one-time anti-join before stopping. At the fixpoint the edge
+    set is a star forest: every node points at its component minimum."""
+    raw = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    verts = raw.select(F.col("a").alias("vec_id")).unionAll(
+        raw.select(F.col("b").alias("vec_id"))
+    ).distinct()
+    edges = raw.where(F.col("a") != F.col("b"))
+
+    def _sig(e: DataFrame):
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("x"),
+        ).first()
+        return (row["n"], row["x"])
+
+    prev, prev_sig = None, None
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        sig = _sig(nxt)
+        if sig == prev_sig:
+            # hash-equal: confirm set equality exactly, once
+            if nxt.join(edges, ["a", "b"], "left_anti").limit(1).count() == 0:
+                if prev is not None:
+                    prev.unpersist()
+                edges = nxt
+                break
+        if prev is not None:
+            prev.unpersist()
+        prev, prev_sig, edges = edges, sig, nxt
+    else:
+        raise RuntimeError(
+            f"dup_components did not converge in {max_rounds} rounds "
+            "(two-phase star contraction converges in O(log² n) — "
+            "raise max_rounds for astronomically deep graphs)"
+        )
+    mapping = edges.select(
+        F.col("a").alias("vec_id"), F.col("b").alias("component")
+    ).unionByName(
+        edges.select(F.col("b").alias("vec_id"))
+        .distinct()
+        .withColumn("component", F.col("vec_id"))
     )
-    for _ in range(iters):
-        prop = (
-            edges.join(labels.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("_nbr_min"))
-        )
-        labels = labels.join(prop, "id", "left").select(
-            "id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))
-            ).alias("label"),
-        )
-    return labels.select(
-        F.col("id").alias("vec_id"), F.col("label").alias("component")
+    # vertices with no surviving edge (self-pairs only) keep themselves
+    return verts.join(mapping, "vec_id", "left").select(
+        "vec_id", F.coalesce("component", F.col("vec_id")).alias("component")
     )
 
 

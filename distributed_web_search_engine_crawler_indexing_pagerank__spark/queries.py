@@ -967,24 +967,12 @@ def q_dup_components(spark, sf_dir):
 
 
 def _sql_dup_components() -> str:
-    """Unrolled min-label propagation over the near-dup pair CTE — the
-    PageRank-CTE pattern applied to connected components: both engines
-    run the identical fixed iteration count, so the (possibly
-    unconverged) fixpoint prefix matches exactly."""
-    iters = []
-    for k in range(1, dedup.DUP_COMPONENT_ITERS + 1):
-        prev = f"l{k - 1}"
-        iters.append(f"""l{k} AS (
-  SELECT l.id, least(l.label, coalesce(min(n.label), l.label)) AS label
-  FROM {prev} l
-  LEFT JOIN (
-    SELECT e.dst AS id, ll.label FROM e JOIN {prev} ll ON e.src = ll.id
-  ) n ON n.id = l.id
-  GROUP BY l.id, l.label
-)""")
-    chain = ",\n".join(iters)
+    """Exact connected components as a recursive transitive-closure CTE:
+    min reachable id per vertex. The Spark side computes exact CC too
+    (alternating large-star/small-star contraction, converged), so both
+    engines agree on ANY graph — no fixed-iteration prefix coupling."""
     return f"""
-WITH pairs_final AS (
+WITH RECURSIVE pairs_final AS (
   {SQL_EMBED_NEARDUP}
 ),
 e AS (
@@ -992,9 +980,12 @@ e AS (
   UNION ALL
   SELECT vec_b AS src, vec_a AS dst FROM pairs_final
 ),
-l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
-{chain}
-SELECT id AS vec_id, label AS component FROM l{dedup.DUP_COMPONENT_ITERS}
+lp(id, label) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT e.dst, lp.label FROM e JOIN lp ON e.src = lp.id
+)
+SELECT id AS vec_id, min(label) AS component FROM lp GROUP BY id
 """
 
 

@@ -80,3 +80,35 @@ def test_dup_components_transitive(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20,
     }
+
+
+def test_dup_components_chain_and_star_converge_exactly(spark):
+    """The 10⁹-edge design path, exercised at ~¾M edges: a 500k-node
+    CHAIN (diameter = n, the worst case where min-label propagation
+    would need n rounds — only the alternating large-star/small-star
+    contraction converges) plus a 250k-leaf STAR, converging EXACTLY,
+    with plan depth bounded by the per-round localCheckpoint (no nested
+    join lineage accumulating across rounds)."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.dedup import (
+        dup_components,
+    )
+
+    n = 500_000
+    chain = spark.range(n).select(
+        F.col("id").alias("vec_a"), (F.col("id") + 1).alias("vec_b")
+    )
+    star_base = 10_000_000
+    star = spark.range(n // 2).select(
+        F.lit(star_base).cast("long").alias("vec_a"),
+        (F.col("id") + star_base + 1).alias("vec_b"),
+    )
+    comp = dup_components(chain.unionByName(star))
+    # lineage cut per round: the returned plan joins the final
+    # checkpointed star forest, not a round-nested join tree
+    plan = comp._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 4, "per-round checkpoint lost — nested lineage"
+    got = {
+        r["component"]: r["count"]
+        for r in comp.groupBy("component").count().collect()
+    }
+    assert got == {0: n + 1, star_base: n // 2 + 1}
