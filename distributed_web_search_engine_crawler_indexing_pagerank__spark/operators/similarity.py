@@ -209,6 +209,7 @@ def _centroid_candidates(
     nprobe: int,
     id_col: str,
     vec_col: str,
+    prefer_join: bool = False,
 ) -> DataFrame:
     """→ (id, vec, cand: array<struct<d: double, b: int>>): each row's
     ``nprobe`` nearest centroids, ascending by (distance, index).
@@ -229,7 +230,7 @@ def _centroid_candidates(
     Both paths compute (x − c)² folded in index order in double
     precision, so results are bit-identical — asserted in tests."""
     nprobe = min(nprobe, len(centroids))
-    if len(centroids) <= LITERAL_CODEBOOK_MAX:
+    if len(centroids) <= LITERAL_CODEBOOK_MAX and not prefer_join:
         cand = F.slice(
             F.array_sort(
                 F.array(
@@ -272,6 +273,24 @@ def _centroid_candidates(
     )
 
 
+def _cluster_means(assigned: DataFrame, vec_col: str) -> DataFrame:
+    """→ (_c, _mean: array<double>): per-cluster vector mean as ONE
+    aggregate (``Summarizer.mean`` over an ML Vector column), not one
+    ``avg(vec[i])`` expression per dimension — the plan is O(1) in the
+    embedding dimension, so training scales to 768-dim codebooks where
+    the unrolled form planned 768 agg expressions per iteration."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    return (
+        assigned.select(
+            "_c", array_to_vector(F.col(vec_col).cast("array<double>")).alias("_v")
+        )
+        .groupBy("_c")
+        .agg(vector_to_array(Summarizer.mean(F.col("_v"))).alias("_mean"))
+    )
+
+
 def kmeans_centroids(
     emb: DataFrame,
     n_centroids: int = 16,
@@ -283,12 +302,14 @@ def kmeans_centroids(
 
     Init = the ``n_centroids`` vectors with the smallest md5(id) (a
     deterministic pseudo-random sample, stable across partitionings).
-    Each iteration is one groupBy over the assignments: per-cluster
-    per-dimension means as ``array(avg(vec[0]), …)`` — no per-row Python,
-    and the only driver traffic is the (n_centroids × dim) centroid
-    matrix per iteration. Empty clusters keep their previous centroid
-    (the standard Lloyd fallback, keeps the codebook size fixed)."""
-    dim = len(emb.select(vec_col).first()[0])
+    Each iteration is one groupBy over the assignments with a single
+    vector-native mean aggregate (``_cluster_means``) — no per-row
+    Python, plan size O(1) in both dim and n_centroids (assignment takes
+    the broadcast-codebook join path: literal per-centroid expressions
+    would re-plan the whole codebook every iteration), and the only
+    driver traffic is the (n_centroids × dim) centroid matrix per
+    iteration. Empty clusters keep their previous centroid (the standard
+    Lloyd fallback, keeps the codebook size fixed)."""
     init = (
         emb.select(vec_col, F.md5(F.col(id_col).cast("string")).alias("_r"))
         .orderBy("_r")
@@ -297,18 +318,10 @@ def kmeans_centroids(
     )
     centroids = [[float(x) for x in r[vec_col]] for r in init]
     for _ in range(iters):
-        assigned = _centroid_candidates(emb, centroids, 1, id_col, vec_col).select(
-            F.col("cand")[0]["b"].alias("_c"), F.col(vec_col)
-        )
-        rows = (
-            assigned.groupBy("_c")
-            .agg(
-                F.array(
-                    *[F.avg(F.col(vec_col).getItem(i).cast("double")) for i in range(dim)]
-                ).alias("_mean")
-            )
-            .collect()
-        )
+        assigned = _centroid_candidates(
+            emb, centroids, 1, id_col, vec_col, prefer_join=True
+        ).select(F.col("cand")[0]["b"].alias("_c"), F.col(vec_col))
+        rows = _cluster_means(assigned, vec_col).collect()
         new = {int(r["_c"]): [float(x) for x in r["_mean"]] for r in rows}
         centroids = [new.get(i, centroids[i]) for i in range(n_centroids)]
     return centroids

@@ -104,3 +104,52 @@ def test_big_codebook_plans_without_blowup(spark):
     for r in out:
         by_q.setdefault(r["vec_id"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_kmeans_training_scales_in_dim_and_codebook(spark):
+    """Training must plan O(1) in both the embedding dimension and the
+    codebook size: the cluster mean is ONE vector-native aggregate
+    (Summarizer.mean), not dim unrolled avg(vec[i]) expressions, and
+    assignment takes the broadcast-codebook join. Exercised at dim=256 /
+    n_centroids=1024 — the regime where the r3 unroll planned 256 agg
+    expressions per iteration."""
+    import time
+
+    dim, n = 256, 1400
+    emb = spark.range(n).select(
+        F.col("id").cast("string").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda d: ((F.col("id") * d) % 17).cast("double") / 8.0 - 1.0,
+        ).alias("embedding"),
+    )
+
+    # plan shape: one aggregate, no per-dimension avg unroll
+    cents0 = [[(i * 7 + d) % 5 / 4.0 for d in range(dim)] for i in range(8)]
+    assigned = similarity._centroid_candidates(
+        emb, cents0, 1, "vec_id", "embedding", prefer_join=True
+    ).select(F.col("cand")[0]["b"].alias("_c"), F.col("embedding"))
+    means = similarity._cluster_means(assigned, "embedding")
+    plan = means._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("avg(") == 0, "per-dimension avg unroll is back"
+    assert len(plan) < 20_000, f"plan grew with dim ({len(plan)} chars)"
+
+    # numeric: vector mean == per-dimension mean (same data, tiny frame)
+    small = emb.limit(40).withColumn("_c", (F.col("vec_id").cast("int") % 3))
+    got = {
+        int(r["_c"]): r["_mean"]
+        for r in similarity._cluster_means(small, "embedding").collect()
+    }
+    want_rows = small.groupBy("_c").agg(
+        F.array(*[F.avg(F.col("embedding").getItem(i)) for i in range(dim)]).alias("m")
+    ).collect()
+    for r in want_rows:
+        for a, b in zip(got[int(r["_c"])], r["m"]):
+            assert abs(a - b) < 1e-9
+
+    # end-to-end: a 1024-centroid codebook trains without plan blowup
+    t0 = time.time()
+    cents = similarity.kmeans_centroids(emb, n_centroids=1024, iters=1)
+    secs = time.time() - t0
+    assert len(cents) == 1024 and all(len(c) == dim for c in cents)
+    assert secs < 300, f"1024-centroid / 256-dim iteration took {secs:.0f}s"
