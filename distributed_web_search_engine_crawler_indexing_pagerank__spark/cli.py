@@ -76,7 +76,7 @@ def _cmd_curate(args) -> None:
     run, at toy scale)."""
     from pyspark.sql import functions as F
 
-    from .operators import dedup, textops
+    from .operators.curate import curate_funnel
     from .session import get_spark
 
     spark = get_spark("cli-curate", cores=args.cores, shuffle_partitions=args.cores)
@@ -84,38 +84,21 @@ def _cmd_curate(args) -> None:
     docs = spark.read.parquet(args.input)
     total = docs.count()
 
-    qf = textops.quality_filter(docs)
-    kept_q = qf.where(F.col("keep"))
-    n_quality = kept_q.count()
-    docs_q = docs.join(kept_q.select("doc_id"), "doc_id")
-
-    ex = dedup.exact_dedup(docs_q)
-    docs_e = docs_q.join(
-        ex.where(~F.col("is_dup")).select("doc_id"), "doc_id"
+    eval_ids = docs.where(F.col("doc_id") % args.eval_mod == 0).select("doc_id")
+    stages = curate_funnel(
+        docs, eval_ids, min_jaccard=args.min_jaccard, quota=args.quota
     )
-    n_exact = docs_e.count()
-
-    pairs = dedup.ngram_jaccard_pairs(docs_e, min_jaccard=args.min_jaccard)
-    comp = dedup.dup_components(pairs, id_a="doc_a", id_b="doc_b")
-    # keep each component's canonical (minimum-id) member
-    drop = comp.where(F.col("vec_id") != F.col("component")).select(
-        F.col("vec_id").alias("doc_id")
-    )
-    docs_n = docs_e.join(drop, "doc_id", "left_anti")
-    n_neardup = docs_n.count()
-
-    sampled = textops.stratified_sample(docs_n, quota=args.quota)
-    n_final = sampled.count()
-
     print(f"documents:            {total}")
-    print(f"after quality filter: {n_quality}")
-    print(f"after exact dedup:    {n_exact}")
-    print(f"after near-dup drop:  {n_neardup}")
-    print(f"after lang quota:     {n_final}")
+    print(f"after quality filter: {stages['quality'].count()}")
+    print(f"after decontaminate:  {stages['clean'].count()}")
+    print(f"after exact dedup:    {stages['exact'].count()}")
+    print(f"after near-dup drop:  {stages['neardup'].count()}")
+    sampled = stages["sampled"]
+    print(f"after lang quota:     {sampled.count()}")
     for r in sampled.groupBy("lang").count().orderBy("lang").collect():
         print(f"  {r['lang']}: {r['count']}")
     if args.out:
-        docs_n.join(sampled.select("doc_id"), "doc_id").write.mode(
+        stages["neardup"].join(sampled.select("doc_id"), "doc_id").write.mode(
             "overwrite"
         ).parquet(args.out)
         print(f"curated parquet: {args.out}")
@@ -151,10 +134,17 @@ def main(argv: list[str] | None = None) -> None:
     cu = sub.add_parser(
         "curate",
         help="training-data curation funnel over a documents parquet "
-        "(quality filter -> exact dedup -> near-dup clustering -> lang quota)",
+        "(quality filter -> decontaminate -> exact dedup -> near-dup "
+        "clustering -> lang quota)",
     )
     cu.add_argument("--input", default="/root/testdata/sf0.01/documents.parquet")
     cu.add_argument("--min-jaccard", type=float, default=0.5)
+    cu.add_argument(
+        "--eval-mod",
+        type=int,
+        default=97,
+        help="doc_id modulus defining the synthetic held-out eval set",
+    )
     cu.add_argument("--quota", type=int, default=40)
     cu.add_argument("--cores", type=int, default=8)
     cu.add_argument("--out", default=None)

@@ -30,7 +30,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .javaport.tokenize import STOP_WORDS
-from .operators import dedup, similarity, textops
+from .operators import curate, dedup, similarity, textops
 
 __all__ = ["queries", "oracle_sql", "QUERIES"]
 
@@ -833,13 +833,19 @@ FROM documents
 """
 
 
-_SQL_SHINGLES = f"""
+def _sql_shingles(src: str = "documents") -> str:
+    """Distinct word-trigram shingles over any (doc_id, text) relation —
+    generated from the same SHINGLE_N the Spark side uses."""
+    return f"""
 SELECT DISTINCT doc_id, sh FROM (
   SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM {src}),
        unnest(generate_series(1, greatest(len(t) - {dedup.SHINGLE_N - 1}, 0))) g(i)
 )
 """
+
+
+_SQL_SHINGLES = _sql_shingles("documents")
 
 
 CONTAM_EVAL_MOD = 97
@@ -1081,6 +1087,95 @@ SELECT doc_id, n_tokens, alpha_ratio, dup_gram_fraction,
         AND dup_gram_fraction <= {textops.QF_MAX_DUP}) AS keep
 FROM m
 """
+
+
+def q_curate(spark, sf_dir):
+    """the full curation funnel as ONE composed query: quality filter →
+    decontamination (flagged + held-out dropped) → exact dedup → near-dup
+    components keeper → per-language stratified quota. Stages are the
+    individually-oracled operators; this row proves the COMPOSITION."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_ids = docs.where(F.col("doc_id") % CONTAM_EVAL_MOD == 0).select("doc_id")
+    return curate.curate_funnel(
+        docs,
+        eval_ids,
+        min_jaccard=0.2,
+        min_overlap=CONTAM_MIN_OVERLAP,
+        quota=STRATIFIED_QUOTA,
+    )["sampled"]
+
+
+def _sql_curate() -> str:
+    """The funnel's oracle, stage-for-stage: each CTE nests the SAME SQL
+    the member operator's own oracle runs (quality filter reused verbatim
+    as a subquery; shingles/jaccard/min-label generated from the same
+    module constants), so composition semantics cannot drift from the
+    member rows."""
+    return f"""
+WITH RECURSIVE qf AS (
+  SELECT doc_id FROM ({SQL_QUALITY_FILTER}) WHERE keep
+),
+dq AS (
+  SELECT d.doc_id, d.text, d.lang FROM documents d JOIN qf USING (doc_id)
+),
+sh1 AS ({_sql_shingles("dq")}),
+ev AS (SELECT DISTINCT sh FROM sh1 WHERE doc_id % {CONTAM_EVAL_MOD} = 0),
+ov AS (
+  SELECT s.doc_id, count(*) AS shared FROM sh1 s JOIN ev USING (sh) GROUP BY 1
+),
+dc AS (
+  SELECT dq.* FROM dq LEFT JOIN ov USING (doc_id)
+  WHERE coalesce(ov.shared, 0) < {CONTAM_MIN_OVERLAP}
+    AND dq.doc_id % {CONTAM_EVAL_MOD} <> 0
+),
+fpw AS (
+  SELECT doc_id,
+         doc_id <> min(doc_id) OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         ) AS is_dup
+  FROM dc
+),
+de AS (SELECT dc.* FROM dc JOIN fpw USING (doc_id) WHERE NOT fpw.is_dup),
+sh0 AS ({_sql_shingles("de")}),
+hot AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > {dedup.MAX_SHINGLE_DF}),
+sh AS (SELECT * FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) >= 0.2
+),
+e AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+lp(id, label) AS (
+  SELECT DISTINCT src, src FROM e
+  UNION
+  SELECT e.dst, lp.label FROM e JOIN lp ON e.src = lp.id
+),
+comp AS (SELECT id, min(label) AS component FROM lp GROUP BY id),
+dn AS (
+  SELECT de.* FROM de LEFT JOIN comp ON de.doc_id = comp.id
+  WHERE comp.id IS NULL OR comp.component = de.doc_id
+)
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS _rk
+  FROM dn
+) WHERE _rk <= {STRATIFIED_QUOTA}
+"""
+
+
+SQL_CURATE = _sql_curate()
 
 
 def _sql_simhash() -> str:
@@ -1421,6 +1516,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_repetition": (q_repetition, SQL_REPETITION),
     "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "q_contamination": (q_contamination, SQL_CONTAMINATION),
+    "q_curate": (q_curate, SQL_CURATE),
     # similarity
     "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "q_ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
