@@ -33,6 +33,69 @@ from distributed_web_search_engine_crawler_indexing_pagerank__spark.session impo
     get_spark,
 )
 
+# In-session A/B reference: the commit whose BENCH_r03 numbers were
+# recorded. This box's delivered capacity swings ~2x between measurement
+# windows on identical code (BENCH/BASELINE.md), so cross-round deltas
+# are confounded; replaying the pinned commit's crawl bench back-to-back
+# in THIS window answers the regression question inside the artifact:
+# ab_ratio = current crawl_sec / ab_ref_sec  (< 1 ⇒ current code faster).
+AB_REF_COMMIT = "d35a2c2c5400f2cc8fdd4c3a19d8d1592fa94f1b"
+
+_AB_DRIVER = r"""
+import json, os, shutil, sys, tempfile
+sys.path.insert(0, os.getcwd())
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.benchmarks import run_crawl_bench
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.session import get_spark
+params = json.loads(sys.argv[1])
+fast = params.pop("fast", None)
+workdir = tempfile.mkdtemp(prefix="abref-", dir=fast) if fast else None
+try:
+    spark = get_spark("ab-ref", cores=params.pop("cores"))
+    spark.sparkContext.setLogLevel("ERROR")
+    print("ABJSON:" + json.dumps(run_crawl_bench(spark, workdir=workdir, **params)))
+finally:
+    if workdir:
+        shutil.rmtree(workdir, ignore_errors=True)
+"""
+
+
+def run_ab_ref(crawl_params: dict, fast: str | None) -> dict | None:
+    """Replay the pinned reference commit's crawl bench in this window.
+
+    The commit is checked out into a cached git worktree and its own
+    ``run_crawl_bench`` runs in a subprocess with the same workload
+    params and scratch protocol as the current-code leg. Returns the
+    parsed result dict, or None when disabled / git unavailable."""
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_AB", "1") == "0":
+        return None
+    ref = os.environ.get("SPARK_GRAFT_AB_REF", AB_REF_COMMIT)
+    wt = f"/tmp/spark-graft-abref-{ref[:12]}"
+    repo = os.path.dirname(os.path.abspath(__file__))
+    try:
+        if not os.path.isdir(os.path.join(wt, ".git")) and not os.path.isfile(
+            os.path.join(wt, ".git")
+        ):
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", wt, ref],
+                cwd=repo, check=True, capture_output=True, timeout=120,
+            )
+        out = subprocess.run(
+            [sys.executable, "-c", _AB_DRIVER,
+             json.dumps({**crawl_params, "fast": fast})],
+            cwd=wt, check=True, capture_output=True, text=True, timeout=1800,
+            env={**os.environ, "PYTHONPATH": wt},
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("ABJSON:"):
+                return json.loads(line[len("ABJSON:"):])
+        return None
+    except Exception as exc:  # A/B is evidence, never a bench failure
+        print(f"ab-ref leg skipped: {exc}", file=sys.stderr)
+        return None
+
+
 HEADLINE = [
     "q_tpch_q1",
     "q_join_agg",
@@ -76,23 +139,32 @@ def main() -> None:
     fast = os.environ.get(
         "BENCH_CRAWL_DIR", "/dev/shm" if os.path.isdir("/dev/shm") else None
     )
+    crawl_params = dict(
+        n_hosts=int(os.environ.get("BENCH_CRAWL_HOSTS", "20000")),
+        pages_base=int(os.environ.get("BENCH_CRAWL_PAGES", "3")),
+        n_seeds=int(os.environ.get("BENCH_CRAWL_SEEDS", "20000")),
+        waves=int(os.environ.get("BENCH_CRAWL_WAVES", "3")),
+        heft=int(os.environ.get("BENCH_CRAWL_HEFT", "60")),
+        checkpoint_interval=int(os.environ.get("BENCH_CRAWL_CKPT", "4")),
+        partitions=max(8, int(cpus) if str(cpus).isdigit() else 32),
+    )
     workdir = tempfile.mkdtemp(prefix="crawlbench-", dir=fast) if fast else None
     try:
-        crawl = run_crawl_bench(
-            spark,
-            n_hosts=int(os.environ.get("BENCH_CRAWL_HOSTS", "20000")),
-            pages_base=int(os.environ.get("BENCH_CRAWL_PAGES", "3")),
-            n_seeds=int(os.environ.get("BENCH_CRAWL_SEEDS", "20000")),
-            waves=int(os.environ.get("BENCH_CRAWL_WAVES", "3")),
-            heft=int(os.environ.get("BENCH_CRAWL_HEFT", "60")),
-            checkpoint_interval=int(os.environ.get("BENCH_CRAWL_CKPT", "4")),
-            partitions=max(8, int(cpus) if str(cpus).isdigit() else 32),
-            workdir=workdir,
-        )
+        crawl = run_crawl_bench(spark, workdir=workdir, **crawl_params)
     finally:
         if workdir:
             shutil.rmtree(workdir, ignore_errors=True)
     timings["crawl_replay"] = crawl["crawl_sec"]
+
+    # same-window A/B against the pinned round-3 commit (see run_ab_ref)
+    ab_params = {**crawl_params, "cores": cpus}
+    ab = run_ab_ref(ab_params, fast)
+    ab_ref_sec = round(ab["crawl_sec"], 3) if ab else None
+    ab_ratio = (
+        round(crawl["crawl_sec"] / ab["crawl_sec"], 3)
+        if ab and ab.get("crawl_sec")
+        else None
+    )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -107,6 +179,11 @@ def main() -> None:
                 "crawl_urls_per_sec": crawl["urls_per_sec"],
                 "crawl_urls_scheduled": crawl["urls_scheduled"],
                 "crawl_pages_fetched": crawl["pages_fetched"],
+                "ab_ref_sec": ab_ref_sec,
+                "ab_ratio": ab_ratio,
+                "ab_ref_commit": os.environ.get("SPARK_GRAFT_AB_REF", AB_REF_COMMIT)[:12]
+                if ab
+                else None,
                 "cpus": cpus,
             }
         )

@@ -57,7 +57,7 @@ def warm_python_workers(spark: SparkSession, parallelism: int) -> None:
     )
     df.select(_w3(_w2(_w1(F.col("s")))).alias("b")).where("b").count()
 
-    def _gid(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _gid(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         return pdf.head(1)
 
     df.groupBy("g").applyInPandas(_gid, "s string, g long").count()
