@@ -50,6 +50,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--json-out",
+        default=None,
+        help="write the per-query result rows to this JSON file "
+        "(second-scale-factor evidence: run with --sf-dir .../sf0.1)",
+    )
     args = ap.parse_args()
 
     import __spark_entry__ as ent
@@ -103,6 +109,13 @@ def main() -> int:
     n = len(out)
     npass = sum(1 for r in out.values() if r.get("hash_match"))
     print(f"\n{npass}/{n} hash-pass; fails: {fails or 'none'}")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(
+                {"sf_dir": args.sf_dir, "n_pass": npass, "n_total": n,
+                 "fails": fails, "rows": out},
+                f, indent=1,
+            )
     return 1 if fails else 0
 
 
