@@ -267,6 +267,17 @@ def _centroid_candidates(
         F.col(vec_col),
         F.struct(d.alias("d"), F.col("b")).alias("_s"),
     )
+    if nprobe == 1:
+        # the training hot path (assignment only): min over the (d, b)
+        # struct is bit-identical to sort+slice(1) — struct comparison is
+        # field-order lexicographic, the same (d, b) key array_sort uses —
+        # but the partial-agg buffer is ONE struct per key instead of a
+        # C-element collect_list, so the agg stays map-side-combinable at
+        # any codebook size.
+        return scored.groupBy(id_col).agg(
+            F.first(F.col(vec_col)).alias(vec_col),
+            F.array(F.min("_s")).alias("cand"),
+        )
     return scored.groupBy(id_col).agg(
         F.first(F.col(vec_col)).alias(vec_col),
         F.slice(F.array_sort(F.collect_list("_s")), 1, nprobe).alias("cand"),
