@@ -59,20 +59,42 @@ finally:
 """
 
 
-def run_ab_ref(crawl_params: dict, fast: str | None) -> dict | None:
-    """Replay the pinned reference commit's crawl bench in this window.
+def _run_ab_leg(tree: str, crawl_params: dict, fast: str | None) -> dict | None:
+    """One fresh-subprocess crawl-bench leg rooted at ``tree`` (a repo
+    checkout); returns the parsed result dict or None on failure."""
+    import subprocess
 
-    The commit is checked out into a cached git worktree and its own
-    ``run_crawl_bench`` runs in a subprocess with the same workload
-    params and scratch protocol as the current-code leg. Returns the
-    parsed result dict, or None when disabled / git unavailable."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _AB_DRIVER,
+             json.dumps({**crawl_params, "fast": fast})],
+            cwd=tree, check=True, capture_output=True, text=True, timeout=1800,
+            env={**os.environ, "PYTHONPATH": tree},
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("ABJSON:"):
+                return json.loads(line[len("ABJSON:"):])
+        return None
+    except Exception as exc:  # A/B is evidence, never a bench failure
+        print(f"ab leg ({tree}) skipped: {exc}", file=sys.stderr)
+        return None
+
+
+def run_ab(crawl_params: dict, fast: str | None) -> tuple[dict | None, dict | None]:
+    """Same-window, same-protocol A/B: the CURRENT tree and the pinned
+    reference commit each run the identical crawl bench in a fresh
+    subprocess (fresh JVM, bare session), back-to-back. Both legs must
+    share the protocol — comparing the in-session headline replay (which
+    runs after 13 warm queries in a loaded JVM) against a fresh-JVM ref
+    leg measured a 2.8x 'regression' that was protocol skew + a window
+    swing, not code. Returns (head_result, ref_result)."""
     import subprocess
 
     if os.environ.get("SPARK_GRAFT_AB", "1") == "0":
-        return None
+        return None, None
+    repo = os.path.dirname(os.path.abspath(__file__))
     ref = os.environ.get("SPARK_GRAFT_AB_REF", AB_REF_COMMIT)
     wt = f"/tmp/spark-graft-abref-{ref[:12]}"
-    repo = os.path.dirname(os.path.abspath(__file__))
     try:
         if not os.path.isdir(os.path.join(wt, ".git")) and not os.path.isfile(
             os.path.join(wt, ".git")
@@ -81,19 +103,12 @@ def run_ab_ref(crawl_params: dict, fast: str | None) -> dict | None:
                 ["git", "worktree", "add", "--detach", wt, ref],
                 cwd=repo, check=True, capture_output=True, timeout=120,
             )
-        out = subprocess.run(
-            [sys.executable, "-c", _AB_DRIVER,
-             json.dumps({**crawl_params, "fast": fast})],
-            cwd=wt, check=True, capture_output=True, text=True, timeout=1800,
-            env={**os.environ, "PYTHONPATH": wt},
-        )
-        for line in out.stdout.splitlines():
-            if line.startswith("ABJSON:"):
-                return json.loads(line[len("ABJSON:"):])
-        return None
-    except Exception as exc:  # A/B is evidence, never a bench failure
-        print(f"ab-ref leg skipped: {exc}", file=sys.stderr)
-        return None
+    except Exception as exc:
+        print(f"ab worktree unavailable: {exc}", file=sys.stderr)
+        return None, None
+    head = _run_ab_leg(repo, crawl_params, fast)
+    refr = _run_ab_leg(wt, crawl_params, fast)
+    return head, refr
 
 
 HEADLINE = [
@@ -110,6 +125,8 @@ HEADLINE = [
     "q_ivf_kmeans",
     "q_embed_neardup",
     "q_media_features",
+    "q_bm25",
+    "q_dup_spans",
 ]
 
 
@@ -156,13 +173,14 @@ def main() -> None:
             shutil.rmtree(workdir, ignore_errors=True)
     timings["crawl_replay"] = crawl["crawl_sec"]
 
-    # same-window A/B against the pinned round-3 commit (see run_ab_ref)
+    # same-window, same-protocol A/B vs the pinned round-3 commit
     ab_params = {**crawl_params, "cores": cpus}
-    ab = run_ab_ref(ab_params, fast)
-    ab_ref_sec = round(ab["crawl_sec"], 3) if ab else None
+    ab_head, ab_ref = run_ab(ab_params, fast)
+    ab_head_sec = round(ab_head["crawl_sec"], 3) if ab_head else None
+    ab_ref_sec = round(ab_ref["crawl_sec"], 3) if ab_ref else None
     ab_ratio = (
-        round(crawl["crawl_sec"] / ab["crawl_sec"], 3)
-        if ab and ab.get("crawl_sec")
+        round(ab_head["crawl_sec"] / ab_ref["crawl_sec"], 3)
+        if ab_head and ab_ref and ab_ref.get("crawl_sec")
         else None
     )
 
@@ -179,10 +197,11 @@ def main() -> None:
                 "crawl_urls_per_sec": crawl["urls_per_sec"],
                 "crawl_urls_scheduled": crawl["urls_scheduled"],
                 "crawl_pages_fetched": crawl["pages_fetched"],
+                "ab_head_sec": ab_head_sec,
                 "ab_ref_sec": ab_ref_sec,
                 "ab_ratio": ab_ratio,
                 "ab_ref_commit": os.environ.get("SPARK_GRAFT_AB_REF", AB_REF_COMMIT)[:12]
-                if ab
+                if ab_ref
                 else None,
                 "cpus": cpus,
             }

@@ -42,6 +42,8 @@ __all__ = [
     "dup_components",
     "DUP_COMPONENT_MAX_ROUNDS",
     "contamination",
+    "duplicate_span_stats",
+    "DUP_SPAN_K",
 ]
 
 SHINGLE_N = 3
@@ -475,6 +477,69 @@ def dup_components(
     # vertices with no surviving edge (self-pairs only) keep themselves
     return verts.join(mapping, "vec_id", "left").select(
         "vec_id", F.coalesce("component", F.col("vec_id")).alias("component")
+    )
+
+
+# --- exact duplicate-span statistics ----------------------------------------
+
+DUP_SPAN_K = 5
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    k: int = DUP_SPAN_K,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, n_tokens, dup_tokens, dup_token_fraction): the exact
+    duplicate-substring signal — the fraction of a document's tokens
+    covered by some ``k``-token span occurring ≥ 2 times corpus-wide
+    (the suffix-array substring-dedup criterion of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better",
+    re-expressed as a bounded k-gram pass; spans are the curation
+    signal for cutting boilerplate/licence-block repeats that
+    document-level dedup can't see).
+
+    Scale shape: occurrences are NEVER pairwise-joined — each
+    (doc, pos, gram) row is annotated with its gram's global occurrence
+    count via one partial-agg groupBy and one shuffle join on the md5
+    gram key (narrow rows regardless of span width), both linear in
+    corpus size; the positional coverage explode is k-bounded and runs
+    over DUPLICATED occurrences only. A hot boilerplate gram makes a
+    big agg group, not a quadratic join group."""
+    df = spread(df)
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col), F.size(toks).alias("n_tokens"), toks.alias("_t")
+    )
+    grams = F.when(
+        F.col("n_tokens") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_t", i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select(id_col, F.posexplode(grams).alias("pos", "g"))
+    counts = occ.groupBy("g").agg(F.count("*").alias("oc"))
+    dup = occ.join(counts.where(F.col("oc") >= 2), "g")
+    covered = (
+        dup.select(
+            id_col,
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("dup_tokens"))
+    )
+    return base.join(covered, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0))
+            / F.greatest(F.col("n_tokens"), F.lit(1)),
+            6,
+        ).alias("dup_token_fraction"),
     )
 
 

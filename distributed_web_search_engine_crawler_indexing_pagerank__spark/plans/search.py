@@ -37,6 +37,7 @@ __all__ = [
     "autocomplete",
     "infer_city_keyword",
     "geo_boost_col",
+    "bm25_scores",
 ]
 
 PAGE_SIZE = 10  # ResultPageHandler.java:28
@@ -199,3 +200,46 @@ def autocomplete(prefix: str, index: DataFrame, limit: int = 8) -> list[str]:
         .collect()
     )
     return [r["word"] for r in rows]
+
+
+# --- BM25 ranking (beyond-reference alternative scorer) ----------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(
+    tok: DataFrame,
+    query_terms: list[str],
+    n_docs: int,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """→ (doc_id, bm25): Okapi BM25 over a (doc_id, w, cnt) postings
+    frame — the standard ranking function a user of a search engine
+    expects alongside the reference's blended score (plans/search.py Q5);
+    idf is Lucene's non-negative variant ``ln(1 + (N − df + ½)/(df + ½))``.
+
+    Scale shape: doc lengths are one partial-aggregated groupBy over the
+    postings (reused by every query); ``avgdl`` is a scalar; the
+    query-term IN-filter prunes the postings scan BEFORE the df agg and
+    the tiny per-term df frame broadcasts — per query the corpus-sized
+    work is one pruned scan + one broadcast join, all whole-stage
+    codegen, no UDFs."""
+    dl = tok.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    avgdl = float(dl.agg(F.avg("dl")).first()[0])
+    qt = tok.where(F.col("w").isin(list(query_terms)))
+    dfreq = qt.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("cnt") * F.lit(k1 + 1.0)) / (
+        F.col("cnt") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl))
+    )
+    return (
+        qt.join(F.broadcast(dfreq), "w")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("bm25"))
+    )

@@ -528,6 +528,39 @@ WHERE round(ln((n_docs + 1.0) / (df + 1.0)), 6) > 0
 """
 
 
+BM25_TERMS = ["data", "query"]
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 ranking over the reference's own postings stream
+    (stop-filtered indexable words) — the standard alternative scorer
+    next to the blended reference formula (q_search_scoring)."""
+    from .plans.search import bm25_scores
+
+    tok = _index_tokens(spark, sf_dir)
+    n_docs = _t(spark, sf_dir, "documents").count()
+    return bm25_scores(tok, BM25_TERMS, n_docs)
+
+
+SQL_BM25 = f"""
+WITH tok AS ({_SQL_INDEX_TOKENS}),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dl AS (SELECT doc_id, sum(cnt) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT avg(dl) AS avgdl FROM dl),
+qt AS (SELECT * FROM tok WHERE w IN ('data', 'query')),
+dfreq AS (SELECT w, count(*) AS df FROM qt GROUP BY w)
+SELECT qt.doc_id,
+       round(sum(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         (cnt * 2.2) / (cnt + 1.2 * (0.25 + 0.75 * dl.dl / avgdl))
+       ), 6) AS bm25
+FROM qt, n, stats
+JOIN dfreq ON qt.w = dfreq.w
+JOIN dl ON qt.doc_id = dl.doc_id
+GROUP BY qt.doc_id
+"""
+
+
 def q_search_scoring(spark, sf_dir):
     """the full query-time ranking pipeline (Q4–Q6) with a SQL oracle:
     conjunctive AND over per-doc postings, score = 0.45·ln(1+pr) +
@@ -886,6 +919,38 @@ SELECT doc_a, doc_b, inter,
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) >= 0.2
 """
+
+
+def q_dup_spans(spark, sf_dir):
+    """exact duplicate-substring statistics: fraction of each document's
+    tokens covered by a k-token span occurring ≥2 times corpus-wide
+    (the substring-level dedup signal document-level fingerprints miss)."""
+    return dedup.duplicate_span_stats(_t(spark, sf_dir, "documents"))
+
+
+def _sql_dup_spans() -> str:
+    k = dedup.DUP_SPAN_K
+    return f"""
+WITH b AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+occ AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+{k - 1}], ' ')) AS g
+  FROM b, unnest(generate_series(1, greatest(len(t) - {k - 1}, 0))) s(i)
+),
+c AS (SELECT g, count(*) AS oc FROM occ GROUP BY g),
+dup AS (SELECT occ.doc_id, occ.pos FROM occ JOIN c USING (g) WHERE c.oc >= 2),
+cover AS (
+  SELECT DISTINCT doc_id, p FROM dup, unnest(generate_series(pos, pos + {k - 1})) q(p)
+),
+agg AS (SELECT doc_id, count(*) AS dup_tokens FROM cover GROUP BY doc_id)
+SELECT b.doc_id,
+       len(t) AS n_tokens,
+       coalesce(agg.dup_tokens, 0) AS dup_tokens,
+       round(coalesce(agg.dup_tokens, 0) * 1.0 / greatest(len(t), 1), 6) AS dup_token_fraction
+FROM b LEFT JOIN agg USING (doc_id)
+"""
+
+
+SQL_DUP_SPANS = _sql_dup_spans()
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -1499,6 +1564,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_autocomplete": (q_autocomplete, SQL_AUTOCOMPLETE),
     "q_search_scoring": (q_search_scoring, SQL_SEARCH_SCORING),
     "q_geo_boost": (q_geo_boost, SQL_GEO_BOOST),
+    "q_bm25": (q_bm25, SQL_BM25),
     # indexing / scoring
     "q_index_words": (q_index_words, SQL_INDEX_WORDS),
     "q_tfidf_docs": (q_tfidf_docs, SQL_TFIDF),
@@ -1517,6 +1583,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
     "q_contamination": (q_contamination, SQL_CONTAMINATION),
     "q_curate": (q_curate, SQL_CURATE),
+    "q_dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     # similarity
     "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "q_ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
