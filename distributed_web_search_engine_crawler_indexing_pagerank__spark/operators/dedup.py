@@ -506,7 +506,9 @@ def duplicate_span_stats(
     gram key (narrow rows regardless of span width), both linear in
     corpus size; the positional coverage explode is k-bounded and runs
     over DUPLICATED occurrences only. A hot boilerplate gram makes a
-    big agg group, not a quadratic join group."""
+    big agg group, not a quadratic join group. md5 is the cross-engine
+    oracle-parity choice; a production deployment would swap the gram
+    key to ``F.xxhash64`` (8-byte longs, ~4x narrower shuffle rows)."""
     df = spread(df)
     toks = tokens_col(F.lower(F.col(text_col)))
     base = df.select(

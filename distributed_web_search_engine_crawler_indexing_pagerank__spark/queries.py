@@ -12,9 +12,12 @@ Query groups (↔ SURVEY.md §2 rows):
 - crawl domain: URL identity, politeness window scheduling, frontier
   anti-join, conjunctive posting AND, spellcheck (§2.3 C7/C12/C15, §2.5
   Q2/Q4)
-- indexing/scoring: reference tokenizer (I3), TF-IDF formula (T1)
+- indexing/scoring: reference tokenizer (I3), TF-IDF formula (T1),
+  Okapi BM25 (beyond-reference alternative ranker)
 - training-data ops: token counts, language ID, quality, fingerprint,
-  exact/Jaccard/MinHash-LSH/SimHash dedup, cosine top-k, IVF ANN
+  exact/Jaccard/MinHash-LSH/SimHash dedup, duplicate-span stats,
+  cosine top-k, IVF ANN, decontamination, stratified quota, and the
+  composed curation funnel (q_curate)
 - formerly-hard cases with exact oracles: deterministic hash-threshold
   sampling, fixed-iteration PageRank (unrolled CTE chain), md5-derived
   multimodal features; the end-to-end crawl wave stays pytest-golden

@@ -115,3 +115,22 @@ def test_contamination_broadcasts_eval_shingles(spark, sf_dir):
     plan = plan_of(Q.QUERIES["q_contamination"][0](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_broadcasts_df_and_stays_jvm(spark, sf_dir):
+    """BM25: the per-term df frame broadcasts; no Python in the plan —
+    the per-query corpus work is one pruned postings scan."""
+    plan = plan_of(Q.QUERIES["q_bm25"][0](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dup_spans_no_python_no_pairwise_join(spark, sf_dir):
+    """duplicate-span stats: pure column exprs (no Python runner) and no
+    occurrence-pairwise self-join — the only joins are occ⨝counts (gram
+    annotation) and the final per-doc left join."""
+    plan = plan_of(Q.QUERIES["q_dup_spans"][0](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # a pairwise candidate join would join occ to itself on the gram key
+    # with an inequality — assert no such shape survived
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
