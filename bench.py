@@ -137,6 +137,13 @@ def main() -> None:
     spark = get_spark("bench", cores=cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
+    # steady-state protocol, same rationale as the crawl legs' python-pool
+    # pre-warm: the first query otherwise absorbs one-time JVM/codegen/
+    # parquet-footer warmup (~3s) that is cluster startup, not query cost.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).groupBy(
+        "l_returnflag"
+    ).count().write.format("noop").mode("overwrite").save()
+
     qmap = queries()
     timings: dict[str, float] = {}
     for name in HEADLINE:
