@@ -243,6 +243,40 @@ FROM events
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """as-of join (custom operator Spark lacks): each click matched to
+    the user's most recent view at-or-before it — one keyed window, not
+    a per-key range join."""
+    from .operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join(clicks, views, on="ts", by="user_id")
+    return out.select(
+        "click_id", "user_id", "r_view_id",
+        F.round("r_view_value", 4).alias("r_view_value"),
+    )
+
+
+SQL_ASOF = """
+WITH l AS (SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'),
+r AS (SELECT user_id, ts, event_id AS view_id, value AS view_value FROM events WHERE event_type = 'view'),
+j AS (
+  SELECT l.click_id, l.user_id, r.view_id, r.view_value,
+         row_number() OVER (PARTITION BY l.click_id ORDER BY r.ts DESC, r.view_id DESC) AS rk
+  FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+)
+SELECT click_id, user_id, view_id AS r_view_id, round(view_value, 4) AS r_view_value
+FROM j WHERE rk = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # crawl domain (SQL-expressible pieces of the scheduler)
 # ---------------------------------------------------------------------------
@@ -1557,6 +1591,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_intersection": (q_intersection, SQL_INTERSECTION),
     "q_top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "q_window_sessionize": (q_window_sessionize, SQL_WINDOW),
+    "q_asof_join": (q_asof_join, SQL_ASOF),
     # crawl domain
     "q_url_identity": (q_url_identity, SQL_URL_IDENTITY),
     "q_politeness_window": (q_politeness_window, SQL_POLITENESS),

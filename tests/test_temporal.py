@@ -1,0 +1,103 @@
+"""asof_join: semantics vs pandas.merge_asof and the scale-shape invariant
+(one keyed exchange + window, NO join operator — the naive per-key range
+join Catalyst would build is quadratic in events per key)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import io
+from contextlib import redirect_stdout
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.temporal import (
+    asof_join,
+)
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def _fixture(spark):
+    left = spark.createDataFrame(
+        [(u, _ts(s), f"L{u}-{s}") for u, s in
+         [(1, 5), (1, 10), (1, 3), (2, 7), (3, 1)]],
+        "user_id int, ts timestamp, lpay string",
+    )
+    right = spark.createDataFrame(
+        [(u, _ts(s), f"R{u}-{s}", float(s)) for u, s in
+         [(1, 4), (1, 10), (1, 8), (2, 9), (4, 2)]],
+        "user_id int, ts timestamp, rpay string, rval double",
+    )
+    return left, right
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    left, right = _fixture(spark)
+    got = (
+        asof_join(left, right, on="ts", by="user_id")
+        .orderBy("user_id", "ts")
+        .toPandas()
+    )
+    exp = pd.merge_asof(
+        left.toPandas().sort_values("ts"),
+        right.toPandas().sort_values("ts"),
+        on="ts",
+        by="user_id",
+        direction="backward",  # most recent at-or-before, inclusive
+        suffixes=("", "_r"),
+    ).sort_values(["user_id", "ts"]).reset_index(drop=True)
+    assert list(got["lpay"]) == list(exp["lpay"])
+    assert list(got["r_rpay"].fillna("-")) == list(exp["rpay"].fillna("-"))
+    # exact-ts row matches (inclusive): left (1,10) -> right (1,10)
+    row = got[(got.user_id == 1) & (got.ts == _ts(10))].iloc[0]
+    assert row["r_rpay"] == "R1-10"
+    # key with no right rows at all -> null payload, row kept
+    assert got[got.user_id == 3]["r_rpay"].isna().all()
+
+
+def test_asof_payload_columns_come_from_same_right_row(spark):
+    left, right = _fixture(spark)
+    got = asof_join(left, right, on="ts", by="user_id").toPandas()
+    matched = got[got["r_rpay"].notna()]
+    # rval was built as float(seconds of rpay) — rows must agree pairwise
+    for _, r in matched.iterrows():
+        assert r["r_rpay"].endswith(f"-{int(r['r_rval'])}")
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    left, right = _fixture(spark)
+    got = (
+        asof_join(
+            left, right, on="ts", by="user_id",
+            tolerance=F.expr("INTERVAL 2 SECONDS"),
+        )
+        .toPandas()
+        .set_index(["user_id", "ts"])
+    )
+    # left (1,5) matched (1,4): 1s old -> kept
+    assert got.loc[(1, _ts(5)), "r_rpay"] == "R1-4"
+    # left (2,7): nearest right is (2,9) in the future; no match either way
+    assert pd.isna(got.loc[(2, _ts(7)), "r_rpay"])
+    # left (1,3) matched nothing <= 3 -> still null
+    assert pd.isna(got.loc[(1, _ts(3)), "r_rpay"])
+
+
+def test_asof_plan_has_window_not_join(spark):
+    left, right = _fixture(spark)
+    df = asof_join(left, right, on="ts", by="user_id")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+               "CartesianProduct", "ShuffledHashJoin"):
+        assert op not in plan, f"asof_join must not plan a {op}"
+    # exactly one keyed exchange feeds the window (union is exchange-free);
+    # formatted mode prints each node once in the tree ("+- Exchange (n)")
+    tree = plan.split("\n\n")[0]
+    assert sum("Exchange" in line for line in tree.splitlines()) == 1
+    assert "hashpartitioning(user_id" in plan
