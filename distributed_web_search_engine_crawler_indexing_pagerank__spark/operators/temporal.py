@@ -1,21 +1,29 @@
-"""Temporal operators: as-of join.
+"""Temporal operators: as-of join, bucketed range (interval) join.
 
-The as-of join (each left row matched to the most recent right row
-at-or-before its timestamp, per key) is a named example of an operator
-Spark's built-in surface lacks. The standard naive plan is a range join
-(``l.ts >= r.ts`` per key) that Catalyst executes as a per-key cartesian
-— quadratic in events per key. Here it is a COMPOSITION of built-ins
-with the plan you'd want at scale: tag both sides, union, one window
-over (key, ts) carrying the last right-row payload forward — a single
-hash exchange on the key plus an in-partition sort, linear in rows, no
-join operator at all, whole-stage codegen throughout.
+Both are named examples of operators Spark's built-in surface lacks;
+each is a COMPOSITION of built-ins with the plan you'd want at scale:
+
+- ``asof_join``: the naive plan is a per-key range join that Catalyst
+  executes as a per-key cartesian — quadratic in events per key. Here:
+  tag both sides, union, one window over (key, ts) carrying the last
+  right-row payload forward — a single hash exchange on the key plus an
+  in-partition sort, linear in rows, no join operator at all,
+  whole-stage codegen throughout.
+- ``range_join``: point-in-interval overlap with NO equi key. Catalyst
+  plans a bare ``start <= p AND p <= end`` join as
+  BroadcastNestedLoopJoin / cartesian — O(points × intervals). Here
+  both sides are mapped to fixed-width time buckets (intervals explode
+  to the buckets they cover) and the join becomes an equi-join on the
+  bucket plus a residual filter — shuffle-partitionable, skew-visible,
+  and each (interval, point) pair meets in exactly ONE bucket (the
+  point's), so no post-join dedup is needed.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(
@@ -89,4 +97,41 @@ def asof_join(
     return u.select(
         by, on, *lcols,
         *[match[c].alias(right_prefix + c) for c in rcols],
+    )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """→ every (interval row ⨯ point row) pair with
+    ``start_col <= point_col <= end_col`` (inclusive both ends), as all
+    interval columns + all point columns. No equi key required.
+
+    ``point_col``/``start_col``/``end_col`` are timestamps;
+    ``bucket_width`` is the routing bucket in SECONDS. Pick it near the
+    median interval length: each interval fans out to
+    ``len/bucket_width + 1`` bucket rows (explosion factor), while a
+    too-wide bucket piles unrelated points into one join group. Giant
+    outlier intervals fan out proportionally — bound them upstream or
+    raise the width. Column names must not collide across the inputs.
+    """
+    p_bkt = F.floor(F.unix_timestamp(F.col(point_col)) / bucket_width)
+    i_lo = F.floor(F.unix_timestamp(F.col(start_col)) / bucket_width)
+    i_hi = F.floor(F.unix_timestamp(F.col(end_col)) / bucket_width)
+    p = points.select(p_bkt.alias("_bkt"), *points.columns)
+    i = intervals.select(
+        F.explode(F.sequence(i_lo, i_hi)).alias("_bkt"), *intervals.columns
+    )
+    return (
+        i.join(p, on="_bkt")
+        .where(
+            (F.col(start_col) <= F.col(point_col))
+            & (F.col(point_col) <= F.col(end_col))
+        )
+        .drop("_bkt")
     )

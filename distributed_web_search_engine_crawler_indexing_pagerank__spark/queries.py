@@ -277,6 +277,105 @@ FROM j WHERE rk = 1
 """
 
 
+def q_range_join(spark, sf_dir):
+    """interval-overlap join with NO equi key (custom operator Spark
+    lacks): purchases attributed to every signup campaign whose 1-hour
+    window covers them — bucketed equi-join, not the
+    BroadcastNestedLoopJoin Catalyst would plan for a bare BETWEEN."""
+    from .operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    camps = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("campaign_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    buys = ev.where(F.col("event_type") == "purchase").select(
+        F.col("ts").alias("buy_ts"), F.col("value").alias("buy_value")
+    )
+    j = range_join(buys, camps, "buy_ts", "start_ts", "end_ts", bucket_width=600)
+    return j.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("buy_value"), 4).alias("purchase_value"),
+    )
+
+
+SQL_RANGE_JOIN = """
+WITH c AS (SELECT event_id AS campaign_id, ts AS start_ts,
+                  ts + INTERVAL 1 HOUR AS end_ts
+           FROM events WHERE event_type = 'signup'),
+p AS (SELECT ts AS buy_ts, value AS buy_value
+      FROM events WHERE event_type = 'purchase')
+SELECT campaign_id, count(*) AS n_purchases,
+       round(sum(buy_value), 4) AS purchase_value
+FROM c JOIN p ON p.buy_ts BETWEEN c.start_ts AND c.end_ts
+GROUP BY campaign_id
+"""
+
+
+def q_time_rollup(spark, sf_dir):
+    """hypertable-style multi-granularity rollup: event counts/value at
+    (type, day, hour), (type, day), (type), () in ONE pass — Spark's
+    rollup = partial-agg-friendly GROUPING SETS, no re-scan per level."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "value",
+        )
+        .rollup("event_type", "day", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+SQL_TIME_ROLLUP = """
+SELECT event_type, date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts), date_trunc('hour', ts))
+"""
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch (deterministic, so exactly oracle-able
+    unlike HLL): distinct users per event type with k=64 minima of the
+    md5-uniform — per-group state bounded at k at any scale."""
+    from .operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    out = kmv_distinct(pts, key="uid", by=["event_type"], k=64)
+    return out.select(
+        "event_type", F.round("est_distinct", 4).alias("est_distinct")
+    )
+
+
+SQL_KMV_DISTINCT = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+           / 1152921504606846976.0 AS u
+  FROM events
+), r AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk
+  FROM h
+)
+SELECT event_type,
+       round(CASE WHEN count(u) < 64 THEN CAST(count(u) AS DOUBLE)
+                  ELSE 63.0 / max(u) END, 4) AS est_distinct
+FROM r WHERE rk <= 64
+GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # crawl domain (SQL-expressible pieces of the scheduler)
 # ---------------------------------------------------------------------------
@@ -1592,6 +1691,9 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_top_orders": (q_top_orders, SQL_TOP_ORDERS),
     "q_window_sessionize": (q_window_sessionize, SQL_WINDOW),
     "q_asof_join": (q_asof_join, SQL_ASOF),
+    "q_range_join": (q_range_join, SQL_RANGE_JOIN),
+    "q_time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
+    "q_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     # crawl domain
     "q_url_identity": (q_url_identity, SQL_URL_IDENTITY),
     "q_politeness_window": (q_politeness_window, SQL_POLITENESS),

@@ -101,3 +101,73 @@ def test_asof_plan_has_window_not_join(spark):
     tree = plan.split("\n\n")[0]
     assert sum("Exchange" in line for line in tree.splitlines()) == 1
     assert "hashpartitioning(user_id" in plan
+
+
+# --------------------------------------------------------------------------
+# range_join
+# --------------------------------------------------------------------------
+
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.temporal import (  # noqa: E402
+    range_join,
+)
+
+
+def _range_fixture(spark):
+    intervals = spark.createDataFrame(
+        [
+            ("i1", _ts(10), _ts(70)),     # crosses a 60s bucket boundary
+            ("i2", _ts(100), _ts(100)),   # zero-length interval
+            ("i3", _ts(200), _ts(500)),   # spans many buckets
+            ("i4", _ts(1000), _ts(1010)), # matches nothing
+        ],
+        "iid string, start_ts timestamp, end_ts timestamp",
+    )
+    points = spark.createDataFrame(
+        [(f"p{s}", _ts(s)) for s in [9, 10, 65, 70, 71, 100, 350, 500]],
+        "pid string, p_ts timestamp",
+    )
+    return points, intervals
+
+
+def test_range_join_matches_naive_theta_join(spark):
+    points, intervals = _range_fixture(spark)
+    got = sorted(
+        (r.iid, r.pid)
+        for r in range_join(
+            points, intervals, "p_ts", "start_ts", "end_ts", bucket_width=60
+        ).collect()
+    )
+    exp = sorted(
+        (r.iid, r.pid)
+        for r in intervals.join(
+            points,
+            (F.col("start_ts") <= F.col("p_ts"))
+            & (F.col("p_ts") <= F.col("end_ts")),
+        ).collect()
+    )
+    assert got == exp
+    # spot invariants: inclusive both ends, zero-length hits its point,
+    # boundary-crossing interval found across buckets, no dup pairs
+    assert ("i1", "p10") in got and ("i1", "p70") in got
+    assert ("i1", "p9") not in got and ("i1", "p71") not in got
+    assert ("i2", "p100") in got
+    assert ("i3", "p350") in got and ("i3", "p500") in got
+    assert len(got) == len(set(got))
+
+
+def test_range_join_plan_is_equi_join_not_nested_loop(spark):
+    points, intervals = _range_fixture(spark)
+    df = range_join(
+        points, intervals, "p_ts", "start_ts", "end_ts", bucket_width=60
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the range condition rides the equi-join as a residual, not a theta plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
