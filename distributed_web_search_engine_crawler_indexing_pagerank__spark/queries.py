@@ -9,6 +9,11 @@ module constants the Spark side uses, so semantics cannot drift.
 Query groups (↔ SURVEY.md §2 rows):
 - relational core: scan/filter/project, flatMap, distinct, groupBy,
   fold/foldByKey, join, intersection, sort+limit (§2.1 #2-#16)
+- engine surface the reference lacks entirely (SURVEY §2.1 "not
+  implemented anywhere" list): window functions (q_window_sessionize),
+  as-of join (q_asof_join), no-equi-key range join (q_range_join),
+  grouping-sets rollup (q_time_rollup), approximate aggregates
+  (q_kmv_distinct — deterministic KMV, so exactly oracle-able)
 - crawl domain: URL identity, politeness window scheduling, frontier
   anti-join, conjunctive posting AND, spellcheck (§2.3 C7/C12/C15, §2.5
   Q2/Q4)
