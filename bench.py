@@ -127,6 +127,10 @@ HEADLINE = [
     "q_media_features",
     "q_bm25",
     "q_dup_spans",
+    "q_asof_join",
+    "q_range_join",
+    "q_time_rollup",
+    "q_kmv_distinct",
 ]
 
 

@@ -134,3 +134,34 @@ def test_dup_spans_no_python_no_pairwise_join(spark, sf_dir):
     # a pairwise candidate join would join occ to itself on the gram key
     # with an inequality — assert no such shape survived
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_rollup_is_single_scan_expand_partial_agg(spark, sf_dir):
+    """rollup: one events scan feeds Expand, all grouping-set levels are
+    aggregated map-side (partial HashAggregate below the one exchange) —
+    no per-level re-scan."""
+    plan = plan_of(Q.QUERIES["q_time_rollup"][0](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert sum("Scan parquet" in l for l in tree.splitlines()) == 1
+    assert "Expand" in plan
+    agg_lines = [l for l in tree.splitlines() if "HashAggregate" in l]
+    exch_lines = [l for l in tree.splitlines() if "Exchange" in l]
+    assert len(agg_lines) == 2 and len(exch_lines) == 1  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_distinct_caps_rows_before_shuffle(spark, sf_dir):
+    """KMV sketch: Spark's rank-limit pushdown (WindowGroupLimit) must
+    sit BELOW the window's exchange, so each map task ships at most k
+    rows per group — the sketch's whole point at 100 TB."""
+    plan = plan_of(Q.QUERIES["q_kmv_distinct"][0](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    wgl = [i for i, l in enumerate(lines) if "WindowGroupLimit" in l]
+    exch = [i for i, l in enumerate(lines) if "Exchange" in l]
+    # tree prints top-down (scan last): the partial WindowGroupLimit must
+    # sit BELOW the window's exchange — i.e. an exchange line falls
+    # between the final and partial WindowGroupLimit occurrences
+    assert len(wgl) == 2, tree
+    assert any(wgl[0] < e < wgl[1] for e in exch), tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
