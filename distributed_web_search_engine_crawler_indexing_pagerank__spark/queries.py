@@ -381,6 +381,84 @@ GROUP BY event_type
 """
 
 
+def q_salted_join(spark, sf_dir):
+    """skew-mitigated equi-join: orders⨝customer executed on
+    (key, salt) so a hot customer spans n_salts reducer tasks — result
+    identical to the plain join by construction (oracle is the plain
+    join)."""
+    from .operators.skew import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(orders, cust, on="o_custkey", n_salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+SQL_SALTED_JOIN = """
+SELECT c_mktsegment, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_group_quantiles(spark, sf_dir):
+    """exact distributed quantiles (p50/p90/p99 of value per event
+    type) in ONE window pass — rank-indexed selection, deterministic,
+    unlike the order-dependent GK sketch of approx_percentile."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    w = Window.partitionBy("event_type").orderBy("value", "event_type")
+    wall = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(wall).alias("_n"),
+    )
+
+    def _q(p):
+        # value at 1-based rank ceil(p*n): the classic "lower" exact
+        # quantile — identical arithmetic on the oracle side
+        return F.max(
+            F.when(
+                F.col("_rn") == F.greatest(
+                    F.lit(1), F.ceil(F.lit(p) * F.col("_n"))
+                ),
+                F.col("value"),
+            )
+        )
+
+    return r.groupBy("event_type").agg(
+        F.round(_q(0.5), 4).alias("p50"),
+        F.round(_q(0.9), 4).alias("p90"),
+        F.round(_q(0.99), 4).alias("p99"),
+    )
+
+
+SQL_GROUP_QUANTILES = """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_type) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.5  * n) AS BIGINT))
+                      THEN value END), 4) AS p50,
+       round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.9  * n) AS BIGINT))
+                      THEN value END), 4) AS p90,
+       round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                      THEN value END), 4) AS p99
+FROM r GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # crawl domain (SQL-expressible pieces of the scheduler)
 # ---------------------------------------------------------------------------
@@ -1699,6 +1777,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_range_join": (q_range_join, SQL_RANGE_JOIN),
     "q_time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
     "q_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
+    "q_group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     # crawl domain
     "q_url_identity": (q_url_identity, SQL_URL_IDENTITY),
     "q_politeness_window": (q_politeness_window, SQL_POLITENESS),
