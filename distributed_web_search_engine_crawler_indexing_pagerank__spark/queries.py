@@ -339,7 +339,8 @@ def q_time_rollup(spark, sf_dir):
 
 
 SQL_TIME_ROLLUP = """
-SELECT event_type, date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hour,
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       date_trunc('hour', ts) AS hour,
        count(*) AS n_events, round(sum(value), 4) AS total_value
 FROM events
 GROUP BY ROLLUP (event_type, date_trunc('day', ts), date_trunc('hour', ts))
@@ -456,6 +457,97 @@ SELECT event_type,
        round(max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
                       THEN value END), 4) AS p99
 FROM r GROUP BY event_type
+"""
+
+
+def q_gap_sessions(spark, sf_dir):
+    """batch gap-based sessionization (30-min inactivity splits a
+    session): flag + running sum in one keyed window pair — the batch
+    twin of streaming session_window. Both engines truncate to whole
+    seconds (unix_timestamp ↔ epoch_us//1e6); the output carries only
+    second DIFFERENCES, so a session-timezone offset cancels."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp(F.col("ts")).alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "sec",
+        "event_id",
+        F.when(F.col("sec") - F.lag("sec").over(w) > 1800, 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.select(
+        "user_id", "sec", F.sum("_new").over(wsum).alias("session_idx")
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("sec") - F.min("sec")).alias("dur_sec"),
+    )
+
+
+SQL_GAP_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events
+), f AS (
+  SELECT user_id, sec,
+         CASE WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+), s AS (
+  SELECT user_id, sec,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY sec
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM f
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events, max(sec) - min(sec) AS dur_sec
+FROM s GROUP BY user_id, session_idx
+"""
+
+_ETYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot(spark, sf_dir):
+    """pivot: per-day event counts, one column per type — explicit
+    value list, so a single scan + one partial/final agg (no extra
+    distinct-values job)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    )
+    return (
+        ev.groupBy("day")
+        .pivot("event_type", _ETYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _ETYPES)
+    )
+
+
+SQL_PIVOT = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'error')    AS error,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'view')     AS view
+FROM events GROUP BY day
+"""
+
+
+def q_except(spark, sf_dir):
+    """set difference as an operator (EXCEPT-distinct): customers who
+    ordered but never above the threshold."""
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.select("o_custkey")
+    b = orders.where(F.col("o_totalprice") > 400000.0).select("o_custkey")
+    return a.subtract(b)
+
+
+SQL_EXCEPT = """
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0
 """
 
 
@@ -1779,6 +1871,9 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "q_group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
+    "q_gap_sessions": (q_gap_sessions, SQL_GAP_SESSIONS),
+    "q_pivot": (q_pivot, SQL_PIVOT),
+    "q_except": (q_except, SQL_EXCEPT),
     # crawl domain
     "q_url_identity": (q_url_identity, SQL_URL_IDENTITY),
     "q_politeness_window": (q_politeness_window, SQL_POLITENESS),
