@@ -138,3 +138,78 @@ def test_host_counter_stateful_stream(spark, tmp_path):
     assert latest["a.test"] == (7, 4, 1)   # 4+3 events across both runs
     assert latest["b.test"] == (2, 2, 0)
     assert latest["c.test"] == (4, 4, 1)
+
+
+# --------------------------------------------------------------------------
+# stream-stream interval join + watermarked dedup (analytics_stream)
+# --------------------------------------------------------------------------
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.streaming.analytics_stream import (
+    click_attribution_stream,
+    dedup_stream,
+)
+
+SF_EVENTS = os.environ.get(
+    "TEST_SF_DIR", "/root/testdata/sf0.001"
+) + "/events.parquet"
+
+
+def _events_dir(tmp_path, name):
+    d = tmp_path / name
+    d.mkdir()
+    shutil.copy(SF_EVENTS, d / "part-0.parquet")
+    return str(d)
+
+
+def test_click_attribution_stream_matches_batch_join(spark, tmp_path):
+    q = click_attribution_stream(
+        spark, _events_dir(tmp_path, "ev1"), gap_seconds=3600,
+        query_name="attrib_t",
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM attrib_t").collect())
+    )
+    ev = spark.read.parquet(SF_EVENTS)
+    clicks = ev.where("event_type='click'").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    views = ev.where("event_type='view'").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    exp = sorted(
+        map(
+            tuple,
+            clicks.join(
+                views,
+                F.expr(
+                    "c_user = v_user AND view_ts <= click_ts "
+                    "AND view_ts >= click_ts - INTERVAL 3600 SECONDS"
+                ),
+            )
+            .select("click_id", F.col("c_user").alias("user_id"), "view_id")
+            .collect(),
+        )
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
+    d = tmp_path / "ev2"
+    d.mkdir()
+    # the same events file lands twice — an at-least-once transport replay
+    shutil.copy(SF_EVENTS, d / "part-0.parquet")
+    shutil.copy(SF_EVENTS, d / "part-1.parquet")
+    q = dedup_stream(spark, str(d), query_name="dedup_t")
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_t").first()
+    n_src = spark.read.parquet(SF_EVENTS).count()
+    assert got["n"] == got["d"] == n_src
