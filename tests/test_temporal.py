@@ -171,3 +171,94 @@ def test_range_join_plan_is_equi_join_not_nested_loop(spark):
         j in plan
         for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     )
+
+
+# --------------------------------------------------------------------------
+# randomized (seeded) equivalence sweeps — denser edge coverage than the
+# hand fixtures: duplicate timestamps across keys, empty sides per key,
+# interval nesting/overlap, boundary-exact points
+# --------------------------------------------------------------------------
+
+import numpy as np
+import pandas as pd
+
+
+def test_asof_join_randomized_vs_pandas(spark):
+    rng = np.random.RandomState(7)
+    n_l, n_r = 300, 400
+    lpdf = pd.DataFrame({
+        "user_id": rng.randint(0, 12, n_l),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 5000, n_l), unit="s"),
+        "lv": np.arange(n_l),
+    })
+    rpdf = pd.DataFrame({
+        "user_id": rng.randint(0, 15, n_r),  # some keys never on left
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 5000, n_r), unit="s"),
+        "rv": np.arange(n_r),
+    })
+    # unique (key, ts) on the right: the operator's documented
+    # determinism precondition (pandas asserts it via allow_exact_matches)
+    rpdf = rpdf.drop_duplicates(["user_id", "ts"]).reset_index(drop=True)
+    got = (
+        asof_join(
+            spark.createDataFrame(lpdf),
+            spark.createDataFrame(rpdf),
+            on="ts",
+            by="user_id",
+        )
+        .toPandas()
+        .sort_values(["user_id", "ts", "lv"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        pd.merge_asof(
+            lpdf.sort_values("ts", kind="mergesort"),
+            rpdf.sort_values("ts", kind="mergesort"),
+            on="ts",
+            by="user_id",
+            direction="backward",
+        )
+        .sort_values(["user_id", "ts", "lv"])
+        .reset_index(drop=True)
+    )
+    assert list(got["lv"]) == list(exp["lv"])
+    pd.testing.assert_series_equal(
+        got["r_rv"], exp["rv"], check_names=False, check_dtype=False
+    )
+
+
+def test_range_join_randomized_vs_theta(spark):
+    rng = np.random.RandomState(11)
+    base = pd.Timestamp("2024-01-01")
+    starts = rng.randint(0, 4000, 120)
+    ipdf = pd.DataFrame({
+        "iid": np.arange(120),
+        "start_ts": base + pd.to_timedelta(starts, unit="s"),
+        "end_ts": base
+        + pd.to_timedelta(starts + rng.randint(0, 900, 120), unit="s"),
+    })
+    ppdf = pd.DataFrame({
+        "pid": np.arange(500),
+        "p_ts": base + pd.to_timedelta(rng.randint(0, 5000, 500), unit="s"),
+    })
+    intervals = spark.createDataFrame(ipdf)
+    points = spark.createDataFrame(ppdf)
+    for width in (60, 300, 1024):
+        got = sorted(
+            (r.iid, r.pid)
+            for r in range_join(
+                points, intervals, "p_ts", "start_ts", "end_ts", width
+            ).collect()
+        )
+        exp = sorted(
+            (r.iid, r.pid)
+            for r in intervals.join(
+                points,
+                (F.col("start_ts") <= F.col("p_ts"))
+                & (F.col("p_ts") <= F.col("end_ts")),
+            ).collect()
+        )
+        assert got == exp, f"width={width}"
+        assert len(got) == len(set(got)), f"width={width}: dup pairs"
