@@ -131,6 +131,7 @@ HEADLINE = [
     "q_range_join",
     "q_time_rollup",
     "q_kmv_distinct",
+    "q_hll_distinct",
 ]
 
 

@@ -26,10 +26,32 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["kmv_distinct", "KMV_HASH_DENOM"]
+__all__ = [
+    "kmv_distinct",
+    "hll_distinct",
+    "hll_oracle_sql",
+    "KMV_HASH_DENOM",
+    "HLL_M",
+    "HLL_ALPHA",
+    "HLL_RHO_CAP",
+]
 
 # 16^15: first-15-hex-chars md5 value space
 KMV_HASH_DENOM = 16 ** 15
+
+# --- HyperLogLog constants (Flajolet et al. 2007), shared verbatim with
+# the generated SQL oracle so the two engines cannot drift -----------------
+HLL_M = 64            # registers (p=6 bucket bits from the first 2 hex chars)
+HLL_ALPHA = 0.709     # published alpha_64 bias constant
+HLL_RHO_CAP = 32      # cap on the leading-zero rank, keeps 2^(CAP-M) integral
+# Register sum is computed in EXACT integer arithmetic: each register M
+# contributes 2^(CAP-M); the group total (≤ m·2^CAP = 2^38) fits a BIGINT,
+# so the sum is addition-order-independent — unlike summing 2^-M doubles,
+# whose rounding would depend on Spark's nondeterministic partial-agg order.
+_HLL_POW = 2 ** HLL_RHO_CAP
+# numerator alpha·m²·2^CAP precomputed HERE and emitted as one double
+# literal on both sides, so multiplication order can't differ
+_HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(_HLL_POW)
 
 
 def kmv_distinct(
@@ -64,3 +86,118 @@ def kmv_distinct(
         .otherwise((k - 1) / F.max("_u"))
         .alias(out_col)
     )
+
+
+_HLL_SMALL = 2.5 * HLL_M  # below this raw estimate, use linear counting
+
+
+def _hll_rho(tail):
+    """Leading-zero rank of the 60-bit tail, computed on the HEX STRING
+    with integer arithmetic only — no float log2, whose 1-ulp rounding
+    near powers of two could disagree between the JVM and DuckDB's libm.
+    rho = 4·(leading '0' hex chars) + (leading zero bits of the first
+    non-zero hex digit) + 1, capped at HLL_RHO_CAP."""
+    lz = F.length(F.regexp_extract(tail, "^0*", 0))
+    # LEAST guard: at lz=15 (all-zero tail) substr would be '' — the
+    # WHEN branch ignores d, but both engines must still evaluate it
+    d = F.conv(tail.substr(F.least(lz, F.lit(14)) + 1, F.lit(1)), 16, 10).cast(
+        "int"
+    )
+    extra = (
+        F.when(d == 1, 3).when(d <= 3, 2).when(d <= 7, 1).otherwise(0)
+    )
+    return F.when(lz >= 15, F.lit(HLL_RHO_CAP)).otherwise(
+        F.least(4 * lz + extra + 1, F.lit(HLL_RHO_CAP))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    key: str,
+    by: list[str],
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """HyperLogLog distinct-count per ``by`` group — deterministic, so
+    exactly oracle-able (``hll_oracle_sql`` is generated from the same
+    constants).
+
+    Unlike KMV there is no per-group top-k window: registers are a pure
+    two-level ``max`` aggregation (map-side combine absorbs repeats), so
+    per-group state is HLL_M longs at ANY cardinality — the cheapest
+    sketch here for 100 TB groupings. Duplicates need no pre-distinct:
+    ``max`` is idempotent.
+
+    ``key`` is hashed as a string — cast non-strings upstream so the
+    oracle's CAST semantics match.
+    """
+    hx = F.md5(F.col(key))
+    bucket = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % HLL_M).alias(
+        "_b"
+    )
+    tail = F.substring(hx, 3, 15)
+    regs = (
+        df.select(*by, bucket, _hll_rho(tail).alias("_rho"))
+        .groupBy(*by, "_b")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    # exact integer register sum: each register adds 2^(CAP-m); empty
+    # registers (m=0) add 2^CAP each — order-independent BIGINT math
+    agg = regs.groupBy(*by).agg(
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(HLL_RHO_CAP) - F.col("_m")).cast("long")
+        ).alias("_s"),
+        F.count(F.lit(1)).alias("_nb"),
+    )
+    total = (F.col("_s") + (HLL_M - F.col("_nb")) * F.lit(_HLL_POW)).cast(
+        "double"
+    )
+    raw = F.lit(_HLL_NUMER) / total
+    v = (HLL_M - F.col("_nb")).cast("double")
+    est = F.when(
+        (raw <= F.lit(_HLL_SMALL)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v),
+    ).otherwise(raw)
+    return agg.select(*by, F.round(est, 4).alias(out_col))
+
+
+def hll_oracle_sql(key_sql: str, table: str, by: list[str]) -> str:
+    """The DuckDB oracle for :func:`hll_distinct`, generated from the
+    SAME constants (HLL_M / HLL_RHO_CAP / alpha numerator) so the two
+    engines cannot drift. ``key_sql`` must be a VARCHAR expression."""
+    bys = ", ".join(by)
+    return f"""
+WITH h AS (
+  SELECT {bys}, md5({key_sql}) AS hx FROM {table}
+), t AS (
+  SELECT {bys},
+         CAST(('0x' || substr(hx, 1, 2))::BIGINT % {HLL_M} AS INT) AS b,
+         substr(hx, 3, 15) AS tail,
+         length(regexp_extract(substr(hx, 3, 15), '^0*', 0)) AS lz
+  FROM h
+), r AS (
+  SELECT {bys}, b,
+         CASE WHEN lz >= 15 THEN {HLL_RHO_CAP}
+              ELSE LEAST(4 * lz
+                   + CASE WHEN d = 1 THEN 3 WHEN d <= 3 THEN 2
+                          WHEN d <= 7 THEN 1 ELSE 0 END + 1,
+                   {HLL_RHO_CAP}) END AS rho
+  FROM (SELECT {bys}, b, lz,
+               ('0x' || substr(tail, LEAST(lz, 14) + 1, 1))::BIGINT AS d
+        FROM t) s
+), regs AS (
+  SELECT {bys}, b, max(rho) AS m FROM r GROUP BY {bys}, b
+), agg AS (
+  SELECT {bys},
+         sum(CAST(power(2, {HLL_RHO_CAP} - m) AS BIGINT))
+           + ({HLL_M} - count(*)) * {_HLL_POW} AS s_total,
+         {HLL_M} - count(*) AS v
+  FROM regs GROUP BY {bys}
+)
+SELECT {bys},
+       round(CASE WHEN {_HLL_NUMER!r} / CAST(s_total AS DOUBLE) <= {_HLL_SMALL!r}
+                       AND v > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v AS DOUBLE))
+                  ELSE {_HLL_NUMER!r} / CAST(s_total AS DOUBLE) END,
+             4) AS est_distinct
+FROM agg
+"""

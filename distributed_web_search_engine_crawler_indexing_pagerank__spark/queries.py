@@ -382,6 +382,29 @@ GROUP BY event_type
 """
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count per event type — fully deterministic
+    (integer register math, md5 bucketing), so it gets a REAL value
+    oracle: ``hll_oracle_sql`` is generated from the same module
+    constants the Spark side uses. Per-group state is m=64 longs at any
+    cardinality, absorbed map-side by ``max`` — the cheapest distinct
+    sketch for a 100 TB grouping (KMV keeps k rows; HLL keeps m ranks)."""
+    from .operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    return hll_distinct(pts, key="uid", by=["event_type"])
+
+
+from .operators.sketches import hll_oracle_sql as _hll_oracle_sql
+
+SQL_HLL_DISTINCT = _hll_oracle_sql(
+    "CAST(user_id AS VARCHAR)", "events", ["event_type"]
+)
+
+
 def q_salted_join(spark, sf_dir):
     """skew-mitigated equi-join: orders⨝customer executed on
     (key, salt) so a hot customer spans n_salts reducer tasks — result
@@ -1869,6 +1892,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_range_join": (q_range_join, SQL_RANGE_JOIN),
     "q_time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
     "q_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
+    "q_hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "q_group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "q_gap_sessions": (q_gap_sessions, SQL_GAP_SESSIONS),

@@ -165,3 +165,15 @@ def test_kmv_distinct_caps_rows_before_shuffle(spark, sf_dir):
     assert len(wgl) == 2, tree
     assert any(wgl[0] < e < wgl[1] for e in exch), tree
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_distinct_two_level_agg_no_window(spark, sf_dir):
+    """HLL sketch: pure two-level hash aggregation — register build
+    (group,bucket) then register fold (group). No window, no Python
+    eval; map-side partial agg absorbs duplicates before the shuffle."""
+    plan = plan_of(Q.QUERIES["q_hll_distinct"][0](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Window" not in tree, tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    agg_lines = [l for l in tree.splitlines() if "HashAggregate" in l]
+    assert len(agg_lines) == 4, tree  # partial+final at each of 2 levels

@@ -48,3 +48,49 @@ def test_kmv_deterministic(spark):
         map(tuple, kmv_distinct(df.repartition(7), "key", ["grp"], k=32).collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------- HLL ----
+
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.sketches import (  # noqa: E402
+    HLL_M,
+    hll_distinct,
+)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    groups = {"a": 1000, "b": 20000, "c": 5000}
+    rows = [(g, f"{g}-key-{i}") for g, n in groups.items() for i in range(n)]
+    df = spark.createDataFrame(rows * 2, "grp string, key string")  # dups
+    got = {
+        r["grp"]: r["est_distinct"]
+        for r in hll_distinct(df, key="key", by=["grp"]).collect()
+    }
+    tol = 5 * 1.04 / math.sqrt(HLL_M)  # 5 sigma of the published SE
+    for g, n in groups.items():
+        assert abs(got[g] - n) / n < tol, (g, got[g], n)
+
+
+def test_hll_linear_counting_small_cardinality(spark):
+    # tiny cardinality: the linear-counting branch should be near-exact
+    df = spark.createDataFrame(
+        [("g", f"k{i % 7}") for i in range(300)], "grp string, key string"
+    )
+    got = hll_distinct(df, key="key", by=["grp"]).collect()
+    assert len(got) == 1
+    assert abs(got[0]["est_distinct"] - 7) <= 1.5, got
+
+
+def test_hll_deterministic_and_dup_insensitive(spark):
+    df = spark.range(8000).select(
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.col("id") % 2500).cast("string").alias("key"),  # heavy dups
+    )
+    a = sorted(map(tuple, hll_distinct(df, "key", ["grp"]).collect()))
+    b = sorted(
+        map(tuple, hll_distinct(df.repartition(13), "key", ["grp"]).collect())
+    )
+    c = sorted(  # union with itself: max-merge must be a no-op
+        map(tuple, hll_distinct(df.union(df), "key", ["grp"]).collect())
+    )
+    assert a == b == c
