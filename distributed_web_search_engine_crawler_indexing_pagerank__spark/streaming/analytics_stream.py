@@ -24,7 +24,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["click_attribution_stream", "dedup_stream", "EVENTS_SCHEMA"]
+__all__ = [
+    "click_attribution_stream",
+    "dedup_stream",
+    "session_rollup_stream",
+    "EVENTS_SCHEMA",
+]
 
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
@@ -101,6 +106,50 @@ def dedup_stream(
     deduped = ev.dropDuplicatesWithinWatermark(keys)
     return (
         deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def session_rollup_stream(
+    spark: SparkSession,
+    events_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+    query_name: str = "sessions",
+):
+    """Per-user gap sessionization on a stream via ``session_window`` —
+    the streaming twin of the batch ``q_gap_sessions`` query.
+
+    ``session_window`` keeps ONE merging window per (user, open session)
+    in the state store and the watermark closes it ``gap`` after the
+    user's last event — state is O(open sessions), not O(events), which
+    is what makes gap sessionization viable on an unbounded feed. Append
+    mode emits each session exactly once, when it closes; the batch
+    lag-flag/running-sum formulation (queries.py::q_gap_sessions) cannot
+    run on a stream because lag needs the whole history per key.
+
+    Returns the started StreamingQuery writing to an in-memory sink.
+    """
+    ev = _events_stream(spark, events_dir).withWatermark("ts", watermark)
+    agg = (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return (
+        agg.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("append")
         .trigger(availableNow=True)

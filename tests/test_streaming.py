@@ -213,3 +213,40 @@ def test_dedup_stream_drops_replayed_rows(spark, tmp_path):
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_t").first()
     n_src = spark.read.parquet(SF_EVENTS).count()
     assert got["n"] == got["d"] == n_src
+
+
+def test_session_rollup_stream_matches_batch_session_window(spark, tmp_path):
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.streaming.analytics_stream import (
+        session_rollup_stream,
+    )
+
+    q = session_rollup_stream(
+        spark, _events_dir(tmp_path, "ev3"), gap="30 minutes",
+        query_name="sess_t",
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM sess_t").collect()))
+    assert len(got) > 0
+
+    ev = spark.read.parquet(SF_EVENTS)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    # append mode + 0s watermark: only sessions CLOSED by the final
+    # watermark (= max event time) are emitted; later ones stay open
+    exp = sorted(
+        map(tuple, batch.where(F.col("session_end") <= F.lit(max_ts)).collect())
+    )
+    assert got == exp
