@@ -132,6 +132,8 @@ HEADLINE = [
     "q_time_rollup",
     "q_kmv_distinct",
     "q_hll_distinct",
+    "q_kmv_overlap",
+    "q_heavy_hitters",
 ]
 
 

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "kmv_distinct",
+    "kmv_signature",
+    "kmv_pair_overlap",
     "hll_distinct",
     "hll_oracle_sql",
     "KMV_HASH_DENOM",
@@ -201,3 +203,88 @@ SELECT {bys},
              4) AS est_distinct
 FROM agg
 """
+
+
+def kmv_signature(
+    df: DataFrame, key: str, by: list[str], k: int = 64
+) -> DataFrame:
+    """Per-group KMV signature: the ``k`` smallest md5-uniform values of
+    distinct ``key``s, as rows ``(*by, _u)``. This is the MERGEABLE form
+    of the sketch — signatures union (then re-cap at k) across
+    partitions, days, or groups, which is what sketch pipelines actually
+    ship between stages at 100 TB; :func:`kmv_distinct` is the terminal
+    estimate of the same construction."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(key)), 1, 15), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(KMV_HASH_DENOM))
+    )
+    hashed = df.select(*by, u.alias("_u")).distinct()
+    w = Window.partitionBy(*by).orderBy("_u")
+    return (
+        hashed.select(*by, "_u", F.row_number().over(w).alias("_rk"))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_pair_overlap(
+    df: DataFrame, key: str, group_col: str, k: int = 64
+) -> DataFrame:
+    """Set algebra on KMV signatures: for every unordered pair of groups
+    ``(ga < gb)``, estimate ``|A ∪ B|`` and Jaccard ``|A∩B|/|A∪B|``
+    WITHOUT touching the raw sets again — everything below the signature
+    build runs on ≤ k rows per group.
+
+    Estimators (Beyer et al., "On synopses for distinct-value estimation
+    under multiset operations", SIGMOD'07): take the k smallest values of
+    sig(A) ∪ sig(B); union size is the KMV estimate on those, Jaccard is
+    the fraction of them present in BOTH signatures. Deterministic
+    (md5), so exactly oracle-able.
+
+    The pair frame is broadcast — pairwise comparison is inherently
+    O(G²) and meant for a bounded set of named cohorts; for all-pairs
+    similarity over millions of groups use minhash LSH instead
+    (operators/dedup.py), which buckets instead of enumerating.
+    """
+    sig = kmv_signature(df, key, [group_col], k).withColumnRenamed(
+        group_col, "_g"
+    )
+    groups = sig.select("_g").distinct()
+    pairs = groups.select(F.col("_g").alias("ga")).join(
+        groups.select(F.col("_g").alias("gb")), F.col("ga") < F.col("gb")
+    )
+    marked = F.broadcast(pairs).join(
+        sig, (sig["_g"] == F.col("ga")) | (sig["_g"] == F.col("gb"))
+    )
+    per_val = marked.groupBy("ga", "gb", "_u").agg(
+        F.max(F.when(F.col("_g") == F.col("ga"), 1).otherwise(0)).alias(
+            "in_a"
+        ),
+        F.max(F.when(F.col("_g") == F.col("gb"), 1).otherwise(0)).alias(
+            "in_b"
+        ),
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("_u")
+    top = per_val.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= k
+    )
+    agg = top.groupBy("ga", "gb").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("_u").alias("_mx"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("_both"),
+    )
+    return agg.select(
+        "ga",
+        "gb",
+        F.round(
+            F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+                (k - 1) / F.col("_mx")
+            ),
+            4,
+        ).alias("est_union"),
+        F.round(F.col("_both").cast("double") / F.col("_n"), 4).alias(
+            "jaccard_est"
+        ),
+    )

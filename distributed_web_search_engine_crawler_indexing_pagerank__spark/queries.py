@@ -382,6 +382,90 @@ GROUP BY event_type
 """
 
 
+def q_kmv_overlap(spark, sf_dir):
+    """Sketch SET ALGEBRA: union-size and Jaccard estimates between
+    every pair of event types' user sets, computed purely from their
+    k=64 KMV signatures (Beyer et al. SIGMOD'07) — the raw sets are
+    never intersected. Mergeability is the property that matters at
+    100 TB: signatures flow between stages at O(k) per group."""
+    from .operators.sketches import kmv_pair_overlap
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_type", F.col("user_id").cast("string").alias("uid")
+    )
+    return kmv_pair_overlap(pts, key="uid", group_col="event_type", k=64)
+
+
+SQL_KMV_OVERLAP = """
+WITH h AS (
+  SELECT DISTINCT event_type AS g,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+           / 1152921504606846976.0 AS u
+  FROM events
+), sig AS (
+  SELECT g, u FROM (
+    SELECT g, u, row_number() OVER (PARTITION BY g ORDER BY u) AS rk FROM h
+  ) s WHERE rk <= 64
+), gs AS (SELECT DISTINCT g FROM sig),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+vals AS (
+  SELECT p.ga, p.gb, s.u,
+         max(CASE WHEN s.g = p.ga THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN s.g = p.gb THEN 1 ELSE 0 END) AS in_b
+  FROM pairs p JOIN sig s ON s.g = p.ga OR s.g = p.gb
+  GROUP BY p.ga, p.gb, s.u
+), top AS (
+  SELECT * FROM (
+    SELECT ga, gb, u, in_a, in_b,
+           row_number() OVER (PARTITION BY ga, gb ORDER BY u) AS rk
+    FROM vals
+  ) t WHERE rk <= 64
+)
+SELECT ga, gb,
+       round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63.0 / max(u) END, 4) AS est_union,
+       round(CAST(sum(in_a * in_b) AS DOUBLE) / count(*), 4) AS jaccard_est
+FROM top GROUP BY ga, gb
+"""
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Exact per-group heavy hitters: top-3 users by event count within
+    each event type (ties → lower user_id). Two-level shape: partial+
+    final count agg shrinks the data BEFORE the ranking window, and
+    Spark's rank-limit pushdown caps rows at k per group map-side — the
+    same WindowGroupLimit story as the KMV sketch, applied to the
+    'top talkers per key' question every crawl/abuse pipeline asks."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("event_type", "user_id", "n", "rk")
+    )
+
+
+SQL_HEAVY_HITTERS = """
+WITH c AS (
+  SELECT event_type, user_id, count(*) AS n
+  FROM events GROUP BY event_type, user_id
+), r AS (
+  SELECT event_type, user_id, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id ASC) AS rk
+  FROM c
+)
+SELECT event_type, user_id, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 3
+"""
+
+
 def q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-count per event type — fully deterministic
     (integer register math, md5 bucketing), so it gets a REAL value
@@ -1893,6 +1977,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
     "q_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
     "q_hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
+    "q_heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "q_kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
     "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "q_group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "q_gap_sessions": (q_gap_sessions, SQL_GAP_SESSIONS),

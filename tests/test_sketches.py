@@ -94,3 +94,49 @@ def test_hll_deterministic_and_dup_insensitive(spark):
         map(tuple, hll_distinct(df.union(df), "key", ["grp"]).collect())
     )
     assert a == b == c
+
+
+# -------------------------------------------------------- KMV algebra ----
+
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.sketches import (  # noqa: E402
+    kmv_pair_overlap,
+    kmv_signature,
+)
+
+
+def test_kmv_signature_capped_and_deterministic(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        F.col("id").cast("string").alias("key"),
+    )
+    sig = kmv_signature(df, "key", ["grp"], k=64)
+    counts = {r["grp"]: r["n"] for r in sig.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"0": 64, "1": 64}
+    a = sorted(map(tuple, sig.collect()))
+    b = sorted(map(tuple, kmv_signature(df.repartition(9), "key", ["grp"], k=64).collect()))
+    assert a == b
+
+
+def test_kmv_pair_overlap_exact_below_k(spark):
+    # |A|=30, |B|=20, |A∩B|=10 — all below k, so the sketch IS the set
+    rows = [("a", f"k{i}") for i in range(30)] + [
+        ("b", f"k{i}") for i in range(20, 40)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    got = kmv_pair_overlap(df, "key", "grp", k=64).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["ga"], r["gb"]) == ("a", "b")
+    assert r["est_union"] == 40.0
+    assert r["jaccard_est"] == round(10 / 40, 4)
+
+
+def test_kmv_pair_overlap_estimates_above_k(spark):
+    # |A|=|B|=4000, |A∩B|=2000 -> union 6000, jaccard 1/3
+    rows = [("a", f"k{i}") for i in range(4000)] + [
+        ("b", f"k{i}") for i in range(2000, 6000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    r = kmv_pair_overlap(df, "key", "grp", k=256).first()
+    assert abs(r["est_union"] - 6000) / 6000 < 0.25, r
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.12, r
