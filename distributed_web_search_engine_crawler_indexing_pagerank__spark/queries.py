@@ -382,6 +382,77 @@ GROUP BY event_type
 """
 
 
+def q_outer_join(spark, sf_dir):
+    """FULL OUTER join as a reconciliation: per-customer order rollup
+    vs a filtered customer dim, so BOTH null directions occur (dim rows
+    with no orders, order rows whose dim row was filtered out). The agg
+    runs BEFORE the join — outer joins can't broadcast-prune, so
+    shrinking the fact side first is the scale move."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 3 != 0)
+        .select("c_custkey", "c_mktsegment")
+    )
+    j = c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.round(F.coalesce("spend", F.lit(0.0)), 2).alias("spend"),
+    )
+
+
+SQL_OUTER_JOIN = """
+WITH o AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+), c AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 3 <> 0
+)
+SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_mktsegment,
+       CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+       round(coalesce(o.spend, 0.0), 2) AS spend
+FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+"""
+
+
+def q_cube(spark, sf_dir):
+    """CUBE over (event_type, day): all four grouping sets from ONE
+    scan via Expand + partial/final agg — the grouping-set sibling of
+    q_time_rollup's ROLLUP."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "value",
+        )
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+SQL_CUBE = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY CUBE (event_type, date_trunc('day', ts))
+"""
+
+
 def q_kmv_overlap(spark, sf_dir):
     """Sketch SET ALGEBRA: union-size and Jaccard estimates between
     every pair of event types' user sets, computed purely from their
@@ -1979,6 +2050,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_hll_distinct": (q_hll_distinct, SQL_HLL_DISTINCT),
     "q_heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "q_kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
+    "q_outer_join": (q_outer_join, SQL_OUTER_JOIN),
+    "q_cube": (q_cube, SQL_CUBE),
     "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "q_group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
     "q_gap_sessions": (q_gap_sessions, SQL_GAP_SESSIONS),

@@ -177,3 +177,28 @@ def test_hll_distinct_two_level_agg_no_window(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     agg_lines = [l for l in tree.splitlines() if "HashAggregate" in l]
     assert len(agg_lines) == 4, tree  # partial+final at each of 2 levels
+
+
+def test_heavy_hitters_agg_before_window_with_group_limit(spark, sf_dir):
+    """Heavy hitters: the count agg must shrink to one row per
+    (group,value) BEFORE the ranking window, and WindowGroupLimit must
+    cap shipping at k rows per group below the window's exchange."""
+    plan = plan_of(Q.QUERIES["q_heavy_hitters"][0](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    wgl = [i for i, l in enumerate(lines) if "WindowGroupLimit" in l]
+    agg = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert len(wgl) == 2, tree
+    # top-down print: aggregates (partial+final) sit BELOW the window ops
+    assert all(a > wgl[1] for a in agg), tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cube_expands_from_single_scan(spark, sf_dir):
+    plan = plan_of(Q.QUERIES["q_cube"][0](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Expand" in tree, tree
+    assert sum("Scan parquet" in l for l in tree.splitlines()) == 1, tree
+    agg_lines = [l for l in tree.splitlines() if "HashAggregate" in l]
+    exch_lines = [l for l in tree.splitlines() if "Exchange" in l]
+    assert len(agg_lines) == 2 and len(exch_lines) == 1, tree
