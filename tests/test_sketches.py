@@ -140,3 +140,59 @@ def test_kmv_pair_overlap_estimates_above_k(spark):
     r = kmv_pair_overlap(df, "key", "grp", k=256).first()
     assert abs(r["est_union"] - 6000) / 6000 < 0.25, r
     assert abs(r["jaccard_est"] - 1 / 3) < 0.12, r
+
+
+# ------------------------------------------- randomized seeded sweeps ----
+
+import numpy as np  # noqa: E402
+
+
+def test_kmv_pair_overlap_randomized_vs_exact(spark):
+    """Seeded sweep: random set sizes/overlaps; below-k pairs must be
+    EXACT, above-k pairs inside 5-sigma KMV error."""
+    rng = np.random.RandomState(23)
+    k = 128
+    rows, truth = [], {}
+    names = ["g0", "g1", "g2", "g3"]
+    universe = [f"u{i}" for i in range(12000)]
+    sets = {}
+    for g in names:
+        n = int(rng.randint(40, 4000))
+        sets[g] = set(rng.choice(universe, size=n, replace=False))
+        rows += [(g, m) for m in sets[g]]
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            u = sets[a] | sets[b]
+            truth[(a, b)] = (len(u), len(sets[a] & sets[b]) / len(u))
+    df = spark.createDataFrame(rows, "grp string, key string")
+    got = {
+        (r["ga"], r["gb"]): (r["est_union"], r["jaccard_est"])
+        for r in kmv_pair_overlap(df, "key", "grp", k=k).collect()
+    }
+    assert set(got) == set(truth)
+    se = 1 / np.sqrt(k - 2)
+    for pair, (n_u, jac) in truth.items():
+        est_u, est_j = got[pair]
+        if n_u < k:
+            assert est_u == float(n_u), (pair, est_u, n_u)
+            assert est_j == round(jac, 4), (pair, est_j, jac)
+        else:
+            assert abs(est_u - n_u) / n_u < 5 * se, (pair, est_u, n_u)
+            # jaccard: k-sample binomial, sd <= 0.5/sqrt(k)
+            assert abs(est_j - jac) < 5 * 0.5 / np.sqrt(k), (pair, est_j, jac)
+
+
+def test_hll_randomized_vs_exact(spark):
+    rng = np.random.RandomState(31)
+    cards = [int(c) for c in rng.randint(200, 30000, size=6)]
+    rows = [
+        (f"g{i}", f"g{i}-x-{j}") for i, n in enumerate(cards) for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "grp string, key string")
+    got = {
+        r["grp"]: r["est_distinct"]
+        for r in hll_distinct(df, key="key", by=["grp"]).collect()
+    }
+    tol = 5 * 1.04 / np.sqrt(HLL_M)
+    for i, n in enumerate(cards):
+        assert abs(got[f"g{i}"] - n) / n < tol, (i, got[f"g{i}"], n)
