@@ -133,6 +133,7 @@ HEADLINE = [
     "q_kmv_distinct",
     "q_hll_distinct",
     "q_kmv_overlap",
+    "q_cms_frequency",
     "q_heavy_hitters",
 ]
 

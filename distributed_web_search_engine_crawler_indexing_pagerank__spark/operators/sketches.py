@@ -32,6 +32,10 @@ __all__ = [
     "kmv_pair_overlap",
     "hll_distinct",
     "hll_oracle_sql",
+    "cms_sketch",
+    "cms_estimate",
+    "CMS_D",
+    "CMS_W",
     "KMV_HASH_DENOM",
     "HLL_M",
     "HLL_ALPHA",
@@ -287,4 +291,80 @@ def kmv_pair_overlap(
         F.round(F.col("_both").cast("double") / F.col("_n"), 4).alias(
             "jaccard_est"
         ),
+    )
+
+
+# --- count-min sketch (Cormode & Muthukrishnan 2005) ----------------------
+CMS_D = 3      # hash rows
+CMS_W = 1024   # buckets per row
+
+
+def cms_sketch(df: DataFrame, key: str, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Build a count-min sketch of ``key`` frequencies: ``(row, bucket,
+    cnt)`` with d·w rows TOTAL regardless of input size — the frequency
+    sketch that ships between stages at 100 TB. Deterministic (md5 with
+    a per-row seed prefix), so estimates are exactly reproducible.
+
+    The d-way row fan-out happens via ``explode`` BEFORE the count agg,
+    and map-side partial aggregation collapses it to ≤ d·w rows per task
+    before the one shuffle."""
+    seeds = F.array(*[F.lit(s) for s in range(d)])
+    fan = df.select(F.col(key).alias("_k")).select(
+        F.explode(seeds).alias("_row"), "_k"
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("_row").cast("string"), F.lit(":"), F.col("_k"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % w
+    ).alias("_bucket")
+    return (
+        fan.select("_row", bucket)
+        .groupBy("_row", "_bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+
+
+def cms_estimate(
+    keys_df: DataFrame,
+    sketch: DataFrame,
+    key: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Probe the sketch for every row of ``keys_df``: the estimate is
+    ``min`` over the d rows of the hashed bucket's counter (an upper
+    bound on the true count; collisions only inflate). The sketch is d·w
+    rows — explicitly broadcast, so the probe is shuffle-free on the
+    keys side beyond the d-way explode + per-key min agg."""
+    seeds = F.array(*[F.lit(s) for s in range(d)])
+    fan = keys_df.select(F.col(key)).distinct().select(
+        key, F.explode(seeds).alias("_row")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("_row").cast("string"), F.lit(":"), F.col(key))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        % w
+    ).alias("_bucket")
+    probed = fan.select(key, "_row", bucket).join(
+        F.broadcast(sketch), ["_row", "_bucket"], "left"
+    )
+    return probed.groupBy(key).agg(
+        F.min(F.coalesce("_cnt", F.lit(0))).alias(out_col)
     )

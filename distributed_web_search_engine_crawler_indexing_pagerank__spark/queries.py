@@ -382,6 +382,44 @@ GROUP BY event_type
 """
 
 
+def q_cms_frequency(spark, sf_dir):
+    """Count-min frequency sketch: per-user event-count estimates from a
+    d=3 × w=1024 sketch (Cormode & Muthukrishnan 2005). The sketch is
+    d·w rows regardless of input size, the probe broadcasts it, and the
+    whole thing is integer arithmetic on md5 — hash-exact vs the oracle.
+    Estimates upper-bound the truth; collisions only inflate."""
+    from .operators.sketches import CMS_D, CMS_W, cms_estimate, cms_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    keys = ev.select(F.col("user_id").cast("string").alias("uid"))
+    sk = cms_sketch(keys, "uid", d=CMS_D, w=CMS_W)
+    return cms_estimate(keys, sk, "uid", d=CMS_D, w=CMS_W)
+
+
+SQL_CMS_FREQUENCY = """
+WITH k AS (
+  SELECT CAST(user_id AS VARCHAR) AS uid FROM events
+), fan AS (
+  SELECT s._row, k.uid,
+         ('0x' || substr(md5(CAST(s._row AS VARCHAR) || ':' || k.uid), 1, 15))::BIGINT
+           % 1024 AS _bucket
+  FROM k, (SELECT unnest([0, 1, 2]) AS _row) s
+), sk AS (
+  SELECT _row, _bucket, count(*) AS _cnt FROM fan GROUP BY _row, _bucket
+), probe AS (
+  SELECT DISTINCT uid FROM k
+), pf AS (
+  SELECT p.uid, s._row,
+         ('0x' || substr(md5(CAST(s._row AS VARCHAR) || ':' || p.uid), 1, 15))::BIGINT
+           % 1024 AS _bucket
+  FROM probe p, (SELECT unnest([0, 1, 2]) AS _row) s
+)
+SELECT pf.uid, CAST(min(coalesce(sk._cnt, 0)) AS BIGINT) AS est_count
+FROM pf LEFT JOIN sk ON pf._row = sk._row AND pf._bucket = sk._bucket
+GROUP BY pf.uid
+"""
+
+
 def q_outer_join(spark, sf_dir):
     """FULL OUTER join as a reconciliation: per-customer order rollup
     vs a filtered customer dim, so BOTH null directions occur (dim rows
@@ -2051,6 +2089,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_heavy_hitters": (q_heavy_hitters, SQL_HEAVY_HITTERS),
     "q_kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
     "q_outer_join": (q_outer_join, SQL_OUTER_JOIN),
+    "q_cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
     "q_cube": (q_cube, SQL_CUBE),
     "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "q_group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),

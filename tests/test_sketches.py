@@ -196,3 +196,40 @@ def test_hll_randomized_vs_exact(spark):
     tol = 5 * 1.04 / np.sqrt(HLL_M)
     for i, n in enumerate(cards):
         assert abs(got[f"g{i}"] - n) / n < tol, (i, got[f"g{i}"], n)
+
+
+# --------------------------------------------------------- count-min ----
+
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.sketches import (  # noqa: E402
+    cms_estimate,
+    cms_sketch,
+)
+
+
+def test_cms_upper_bounds_truth_and_is_exact_when_sparse(spark):
+    rng = np.random.RandomState(41)
+    true = {f"k{i}": int(rng.randint(1, 200)) for i in range(50)}
+    rows = [(k,) for k, n in true.items() for _ in range(n)]
+    df = spark.createDataFrame(rows, "key string")
+    sk = cms_sketch(df, "key")
+    assert sk.count() <= 3 * 1024
+    got = {
+        r["key"]: r["est_count"]
+        for r in cms_estimate(df, sk, "key").collect()
+    }
+    assert set(got) == set(true)
+    for k, n in true.items():
+        assert got[k] >= n, (k, got[k], n)  # CMS never undercounts
+    # 50 keys in 1024 buckets: collisions possible but bounded — total
+    # inflation stays small
+    assert sum(got.values()) <= sum(true.values()) * 1.5
+
+
+def test_cms_deterministic_across_partitionings(spark):
+    df = spark.range(5000).select(
+        (F.col("id") % 300).cast("string").alias("key")
+    )
+    a = sorted(map(tuple, cms_estimate(df, cms_sketch(df, "key"), "key").collect()))
+    df2 = df.repartition(11)
+    b = sorted(map(tuple, cms_estimate(df2, cms_sketch(df2, "key"), "key").collect()))
+    assert a == b
