@@ -134,6 +134,7 @@ HEADLINE = [
     "q_hll_distinct",
     "q_kmv_overlap",
     "q_cms_frequency",
+    "q_winnow",
     "q_heavy_hitters",
 ]
 

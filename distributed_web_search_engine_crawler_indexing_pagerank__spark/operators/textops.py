@@ -28,6 +28,10 @@ __all__ = [
     "lang_id",
     "quality_score",
     "fingerprint",
+    "winnow_fingerprints",
+    "WINNOW_K",
+    "WINNOW_W",
+    "WINNOW_MAX_CHARS",
 ]
 
 WS_PATTERN = r"\s+"
@@ -294,4 +298,70 @@ def quality_filter(
         alpha.alias("alpha_ratio"),
         dup.alias("dup_gram_fraction"),
         keep.alias("keep"),
+    )
+
+
+# --- winnowing fingerprints (Schleimer et al., SIGMOD 2003) ---------------
+WINNOW_K = 8          # character k-gram length
+WINNOW_W = 4          # winnowing window (grams per window)
+WINNOW_MAX_CHARS = 1000  # normalize-then-cap: bounds the per-doc explode
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, n_grams, n_fps, fp_lo, fp_hi): winnowing summary — the
+    rolling-hash document fingerprint (Schleimer et al. 2003): hash every
+    k-char gram of the normalized text, then keep the minimum (hash, pos)
+    of each sliding w-gram window. Guarantees any shared substring of
+    length ≥ w+k-1 contributes a shared fingerprint, at ~2/(w+1) density
+    — the plagiarism/near-dup primitive that md5-of-whole-doc
+    (:func:`fingerprint`) and token-span coverage (dedup.dup-spans) both
+    miss for partial overlap at character granularity.
+
+    Deterministic (md5 grams; ties broken by position via lexicographic
+    min over hash||lpad(pos)), so exactly oracle-able. Scale: the
+    per-position explode is O(chars) rows — same class as dup-spans'
+    token explode — bounded by WINNOW_MAX_CHARS per doc and shuffled
+    once for the per-doc window."""
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PATTERN, " "),
+        1,
+        WINNOW_MAX_CHARS,
+    )
+    base = df.select(
+        F.col(id_col),
+        norm.alias("_t"),
+        (F.length(norm) - (WINNOW_K - 1)).alias("_n"),
+    ).where(F.col("_n") >= WINNOW_W)
+    grams = base.select(
+        id_col,
+        "_n",
+        F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_p"),
+        F.col("_t"),
+    ).select(
+        id_col,
+        "_n",
+        "_p",
+        F.concat(
+            F.substring(
+                F.md5(F.expr(f"substring(_t, _p, {WINNOW_K})")), 1, 12
+            ),
+            F.lpad(F.col("_p").cast("string"), 6, "0"),
+        ).alias("_e"),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_p")
+        .rowsBetween(-(WINNOW_W - 1), 0)
+    )
+    sel = grams.select(
+        id_col, "_n", "_p", F.min("_e").over(w).alias("_sel")
+    ).where(F.col("_p") >= WINNOW_W)
+    fps = sel.select(id_col, "_n", "_sel").distinct()
+    return fps.groupBy(id_col).agg(
+        F.max("_n").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("_sel").alias("fp_lo"),
+        F.max("_sel").alias("fp_hi"),
     )

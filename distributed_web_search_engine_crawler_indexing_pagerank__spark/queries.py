@@ -382,6 +382,44 @@ GROUP BY event_type
 """
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (Schleimer et al. 2003) over
+    documents: per-doc fingerprint count + lexicographic extremes from
+    k=8-char grams winnowed by w=4 windows — the character-granular
+    partial-overlap primitive next to md5 exact-dedup and token-span
+    coverage."""
+    from .operators.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+SQL_WINNOW = """
+WITH b AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 1000) AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t, CAST(length(t) - 7 AS INT) AS n FROM b
+  WHERE length(t) - 7 >= 4
+), g AS (
+  SELECT doc_id, n, CAST(i AS INT) AS p,
+         substr(md5(substr(t, i, 8)), 1, 12)
+           || lpad(CAST(i AS VARCHAR), 6, '0') AS e
+  FROM base, unnest(generate_series(1, n)) s(i)
+), sel AS (
+  SELECT doc_id, n, p,
+         min(e) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selfp
+  FROM g
+), fps AS (
+  SELECT DISTINCT doc_id, n, selfp FROM sel WHERE p >= 4
+)
+SELECT doc_id, max(n) AS n_grams, count(*) AS n_fps,
+       min(selfp) AS fp_lo, max(selfp) AS fp_hi
+FROM fps GROUP BY doc_id
+"""
+
+
 def q_cms_frequency(spark, sf_dir):
     """Count-min frequency sketch: per-user event-count estimates from a
     d=3 × w=1024 sketch (Cormode & Muthukrishnan 2005). The sketch is
@@ -2090,6 +2128,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_kmv_overlap": (q_kmv_overlap, SQL_KMV_OVERLAP),
     "q_outer_join": (q_outer_join, SQL_OUTER_JOIN),
     "q_cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
+    "q_winnow": (q_winnow, SQL_WINNOW),
     "q_cube": (q_cube, SQL_CUBE),
     "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "q_group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),

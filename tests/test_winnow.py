@@ -1,0 +1,91 @@
+"""Winnowing fingerprints: the Schleimer guarantee (any shared substring
+of length >= w+k-1 yields a shared fingerprint), selection density, and
+partitioning-invariance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.textops import (
+    WINNOW_K,
+    WINNOW_W,
+    winnow_fingerprints,
+)
+
+
+def _fps(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sel = winnow_fingerprints(df)
+    return {r["doc_id"]: r for r in sel.collect()}
+
+
+def _fp_sets(spark, rows):
+    """Recompute the full fingerprint SETS (not just the summary) via the
+    same operator internals, for overlap assertions."""
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators import textops as T
+
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), T.WS_PATTERN, " "),
+        1,
+        T.WINNOW_MAX_CHARS,
+    )
+    base = df.select(
+        "doc_id", norm.alias("_t"), (F.length(norm) - (T.WINNOW_K - 1)).alias("_n")
+    ).where(F.col("_n") >= T.WINNOW_W)
+    from pyspark.sql import Window
+
+    grams = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_p"),
+        F.col("_t"),
+    ).select(
+        "doc_id",
+        "_p",
+        F.substring(F.md5(F.expr(f"substring(_t, _p, {T.WINNOW_K})")), 1, 12).alias("_h"),
+    )
+    # hash-only selection (ignore position component) for set overlap
+    w = Window.partitionBy("doc_id").orderBy("_p").rowsBetween(-(T.WINNOW_W - 1), 0)
+    sel = grams.select("doc_id", "_p", F.min("_h").over(w).alias("_s")).where(
+        F.col("_p") >= T.WINNOW_W
+    )
+    out = {}
+    for r in sel.select("doc_id", "_s").distinct().collect():
+        out.setdefault(r["doc_id"], set()).add(r["_s"])
+    return out
+
+
+def test_shared_substring_shares_a_fingerprint(spark):
+    # guarantee: any common substring of length >= w+k-1 (= 11) chars
+    # produces at least one common selected hash
+    common = "zqxjvzqxjvwmbf"  # 14 chars, rare letters — no WS collapse
+    rows = [
+        ("a", "aaaaaaaa" + common + "bbbbbbbbbb"),
+        ("b", "cccccccccccc" + common + "dddd"),
+        ("c", "eeeeeeeeeeeeeeeeeeeeeeeeeee"),
+    ]
+    sets = _fp_sets(spark, rows)
+    assert sets["a"] & sets["b"], (sets["a"], sets["b"])
+    assert not (sets["a"] & sets["c"])
+
+
+def test_density_and_summary_shape(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    text = "".join(rng.choice(list("abcdefghijklmnop qrstuvwxyz"), 800))
+    got = _fps(spark, [("d", text)])["d"]
+    assert got["n_grams"] > 700
+    # winnowing density ~ 2/(w+1) = 0.4; allow broad band
+    frac = got["n_fps"] / got["n_grams"]
+    assert 0.15 < frac < 0.6, got
+    assert got["fp_lo"] <= got["fp_hi"]
+
+
+def test_winnow_partitioning_invariant(spark):
+    rows = [(f"d{i}", f"text number {i} with some repeated filler words "
+             f"and enough length to produce grams {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    a = sorted(map(tuple, winnow_fingerprints(df).collect()))
+    b = sorted(map(tuple, winnow_fingerprints(df.repartition(7)).collect()))
+    assert a == b and len(a) == 40
