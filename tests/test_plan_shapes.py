@@ -202,3 +202,17 @@ def test_cube_expands_from_single_scan(spark, sf_dir):
     agg_lines = [l for l in tree.splitlines() if "HashAggregate" in l]
     exch_lines = [l for l in tree.splitlines() if "Exchange" in l]
     assert len(agg_lines) == 2 and len(exch_lines) == 1, tree
+
+
+def test_winnow_single_shuffle_all_jvm(spark, sf_dir):
+    """Winnowing: ONE exchange total — the per-doc window's; the
+    distinct and the final per-doc agg both reuse the doc_id hash
+    partitioning (ClusteredDistribution satisfied by a subset), and the
+    whole rolling-hash pipeline stays JVM-side (no Python eval)."""
+    plan = plan_of(Q.QUERIES["q_winnow"][0](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    assert sum("Exchange" in l for l in lines) == 1, tree
+    assert sum("Scan parquet" in l for l in lines) == 1, tree
+    assert any("Window" in l for l in lines), tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -92,3 +92,15 @@ def test_rows_only_query_runs(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_bench_headline_subset_of_registry():
+    import importlib.util as iu
+
+    spec = iu.spec_from_file_location("bench", "/root/repo/bench.py")
+    bench = iu.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark import queries as Q
+
+    missing = [n for n in bench.HEADLINE if n not in Q.QUERIES]
+    assert not missing, missing
