@@ -529,6 +529,91 @@ GROUP BY CUBE (event_type, date_trunc('day', ts))
 """
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((event_type),(day),()) — the third member
+    of the grouping-set family next to ROLLUP (q_time_rollup) and CUBE
+    (q_cube): hand-picked levels, still one scan + Expand."""
+    ev = _t(spark, sf_dir, "events")
+    ev.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "value",
+    ).createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT event_type, day, count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM _gs_events
+        GROUP BY GROUPING SETS ((event_type), (day), ())
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006): per event type, the 5 users with the largest
+    u^(1/w) where u is the md5-uniform of the user id and w the user's
+    event count — heavier users proportionally likelier, yet fully
+    reproducible (no RNG, no partitioning dependence), so exactly
+    oracle-able. Same agg-then-WindowGroupLimit shape as heavy hitters:
+    weights reduce BEFORE the ranking window."""
+    ev = _t(spark, sf_dir, "events")
+    wts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .cast("double")
+        / F.lit(float(16**15))
+    )
+    scored = wts.select(
+        "event_type",
+        "user_id",
+        "w",
+        F.round(F.pow(u, 1.0 / F.col("w")), 10).alias("score"),
+    )
+    win = Window.partitionBy("event_type").orderBy(
+        F.col("score").desc(), F.col("user_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .where(F.col("rk") <= 5)
+        .select("event_type", "user_id", "w", "score", "rk")
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH wts AS (
+  SELECT event_type, user_id, count(*) AS w
+  FROM events GROUP BY event_type, user_id
+), scored AS (
+  SELECT event_type, user_id, w,
+         round(power(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+                       / 1152921504606846976.0,
+                     1.0 / w), 10) AS score
+  FROM wts
+), r AS (
+  SELECT event_type, user_id, CAST(w AS BIGINT) AS w, score,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY score DESC, user_id ASC) AS rk
+  FROM scored
+)
+SELECT event_type, user_id, w, score, CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 5
+"""
+
+
 def q_kmv_overlap(spark, sf_dir):
     """Sketch SET ALGEBRA: union-size and Jaccard estimates between
     every pair of event types' user sets, computed purely from their
@@ -2129,6 +2214,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_outer_join": (q_outer_join, SQL_OUTER_JOIN),
     "q_cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
     "q_winnow": (q_winnow, SQL_WINNOW),
+    "q_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "q_weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "q_cube": (q_cube, SQL_CUBE),
     "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "q_group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
