@@ -135,6 +135,8 @@ HEADLINE = [
     "q_kmv_overlap",
     "q_cms_frequency",
     "q_winnow",
+    "q_grouping_sets",
+    "q_weighted_sample",
     "q_heavy_hitters",
 ]
 
