@@ -193,7 +193,8 @@ class Catalog:
                     "concurrent writer — reload and retry"
                 ) from None
             try:
-                stale = time.time() - os.path.getmtime(guard) > STALE_GUARD_SECONDS
+                st = os.stat(guard)
+                stale = time.time() - st.st_mtime > STALE_GUARD_SECONDS
             except OSError:
                 stale = False  # guard vanished mid-check: treat as live claim
             if not stale:
@@ -201,10 +202,27 @@ class Catalog:
                     f"table {name!r}: snapshot {snap_id} already claimed by a "
                     "concurrent writer — reload and retry"
                 ) from None
-            # Orphan guard from a crashed writer: take it over ATOMICALLY —
-            # unlink the dead claim, then retry the O_EXCL create. If two
-            # resumed writers race the takeover, exactly one wins the
-            # re-create; the other gets FileExistsError and loses.
+            # Orphan guard from a crashed writer: take it over ATOMICALLY.
+            # An unconditional unlink is NOT safe — two resumed writers can
+            # both judge the guard stale, and the slower one's unlink would
+            # remove the faster one's freshly re-created (live) guard,
+            # letting both claim the same snapshot id. Instead, takeover is
+            # serialized on the IDENTITY of the specific dead guard we
+            # judged — (st_ino, st_mtime_ns) names that one file instance —
+            # via an O_EXCL marker: exactly one claimant per dead instance
+            # wins the marker; the loser never touches the guard path. A
+            # writer that stats a FRESH guard never enters this branch, and
+            # any replacement of the guard path requires winning the marker
+            # for the previous instance first, so the winner's unlink below
+            # provably removes only the file it judged stale.
+            marker = f"{guard}.takeover-{st.st_ino}-{st.st_mtime_ns}"
+            try:
+                os.close(os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
+                raise CommitConflict(
+                    f"table {name!r}: lost the takeover race for orphaned "
+                    f"snapshot guard {snap_id} — reload and retry"
+                ) from None
             try:
                 os.unlink(guard)
             except OSError:
@@ -212,10 +230,18 @@ class Catalog:
             try:
                 os.close(os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
             except FileExistsError:
+                # a third writer claimed snap_id fresh between our
+                # unlink and re-create — a legitimate live claim
                 raise CommitConflict(
-                    f"table {name!r}: lost the takeover race for orphaned "
-                    f"snapshot guard {snap_id} — reload and retry"
+                    f"table {name!r}: snapshot {snap_id} was re-claimed "
+                    "during orphan takeover — reload and retry"
                 ) from None
+            # The marker is NOT removed here: a slow racer that statted the
+            # same dead instance before our takeover must keep losing its
+            # O_EXCL even if it arrives after our commit — deleting the
+            # marker early would let it win a "fresh" marker and unlink our
+            # LIVE guard. Markers are swept with the consumed guards by
+            # ``vacuum`` (ids are never reused once committed).
         # Post-claim verification: between our top-of-write() manifest load
         # and the claim, another writer's guard for snap_id may have been
         # claimed, committed, AND vacuumed away (so our O_EXCL succeeded on
@@ -301,10 +327,12 @@ class Catalog:
             if entry.startswith("data-") and full not in keep:
                 shutil.rmtree(full, ignore_errors=True)
             elif entry.startswith(".commit-"):
-                # consumed CAS guards (ids are never reused once in the
-                # manifest); an in-flight claim (> max committed) survives
+                # consumed CAS guards and their takeover markers (ids are
+                # never reused once in the manifest); an in-flight claim
+                # (> max committed) survives, and so do its markers
                 try:
-                    if int(entry.rsplit("-", 1)[1]) <= max_committed:
+                    stem = entry.split(".takeover-", 1)[0]
+                    if int(stem.rsplit("-", 1)[1]) <= max_committed:
                         os.unlink(full)
                 except (ValueError, OSError):
                     pass

@@ -33,6 +33,8 @@ __all__ = [
     "exact_dedup",
     "shingles",
     "ngram_jaccard_pairs",
+    "winnow_overlap_pairs",
+    "MAX_WINNOW_FP_DF",
     "minhash_signature_rows",
     "minhash_signatures",
     "minhash_lsh_pairs",
@@ -134,6 +136,59 @@ def ngram_jaccard_pairs(
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"), F.first("na").alias("na"), F.first("nb").alias("nb"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+# hot-fingerprint document-frequency cap for the winnowing pair join —
+# same role as MAX_SHINGLE_DF: a char-gram fingerprint shared by more
+# documents than this is boilerplate and would quadratic-blow the join.
+MAX_WINNOW_FP_DF = 1000
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_jaccard: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = MAX_WINNOW_FP_DF,
+) -> DataFrame:
+    """→ (doc_a, doc_b, inter, jaccard): candidate plagiarism/partial-
+    overlap pairs from WINNOWING fingerprints (Schleimer et al. 2003) —
+    the cross-document join :func:`textops.winnow_fingerprints`
+    summarizes per doc. Any shared substring of length ≥ w+k-1 chars
+    contributes a shared fingerprint, so char-level partial overlap is
+    caught where word-shingle Jaccard (boundary-sensitive) and whole-doc
+    MD5 both miss.
+
+    Same scale shape as :func:`ngram_jaccard_pairs`: the fingerprint
+    explode shuffles ONCE by fp; the hot-fp df cap and both self-join
+    sides reuse that exchange (bucketed by fingerprint — never
+    all-pairs); jaccard is exact over the capped fingerprint sets."""
+    from .textops import winnow_fp_rows
+
+    fps = winnow_fp_rows(spread(df), text_col, id_col)
+    if max_df is not None:
+        fps = fps.withColumn(
+            "_df_fp", F.count("*").over(Window.partitionBy("fp"))
+        ).where(F.col("_df_fp") <= max_df)
+    fps = fps.withColumn("_n_fp", F.count("*").over(Window.partitionBy(id_col)))
+    a = fps.select(F.col(id_col).alias("doc_a"), F.col("_n_fp").alias("na"), "fp")
+    b = fps.select(F.col(id_col).alias("doc_b"), F.col("_n_fp").alias("nb"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),

@@ -324,6 +324,22 @@ def winnow_fingerprints(
     per-position explode is O(chars) rows — same class as dup-spans'
     token explode — bounded by WINNOW_MAX_CHARS per doc and shuffled
     once for the per-doc window."""
+    sel = _winnow_sel(df, text_col, id_col)
+    fps = sel.select(id_col, "_n", "_sel").distinct()
+    return fps.groupBy(id_col).agg(
+        F.max("_n").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_fps"),
+        F.min("_sel").alias("fp_lo"),
+        F.max("_sel").alias("fp_hi"),
+    )
+
+
+def _winnow_sel(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shared winnowing core → (id, _n, _p, _sel) where ``_sel`` is the
+    window-selected hash||lpad(pos) entry at position ``_p``. One
+    O(chars) explode (bounded by WINNOW_MAX_CHARS), ONE exchange on the
+    doc id that the rolling-min window and every downstream per-doc agg
+    reuse."""
     norm = F.substring(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PATTERN, " "),
         1,
@@ -355,13 +371,22 @@ def winnow_fingerprints(
         .orderBy("_p")
         .rowsBetween(-(WINNOW_W - 1), 0)
     )
-    sel = grams.select(
+    return grams.select(
         id_col, "_n", "_p", F.min("_e").over(w).alias("_sel")
     ).where(F.col("_p") >= WINNOW_W)
-    fps = sel.select(id_col, "_n", "_sel").distinct()
-    return fps.groupBy(id_col).agg(
-        F.max("_n").alias("n_grams"),
-        F.count(F.lit(1)).alias("n_fps"),
-        F.min("_sel").alias("fp_lo"),
-        F.max("_sel").alias("fp_hi"),
-    )
+
+
+def winnow_fp_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, fp) distinct: the POSITION-STRIPPED winnowing
+    fingerprint set per document — the cross-document matching form.
+    :func:`winnow_fingerprints` keeps hash||pos (localization); for
+    doc-vs-doc overlap the position must come off, since the shared
+    substring sits at different offsets in each document (Schleimer et
+    al. 2003 §2: the fingerprint is the gram hash, positions travel as
+    metadata)."""
+    sel = _winnow_sel(df, text_col, id_col)
+    return sel.select(
+        F.col(id_col), F.substring("_sel", 1, 12).alias("fp")
+    ).distinct()

@@ -409,7 +409,10 @@ class BloomStore:
         every shard and overwrites (compaction). ``dirty_shards``, when
         the caller tracked it (the crawl's per-shard Observation
         counters), prunes the bitmap-side scan to the touched shards via
-        a pushed-down IN filter — zero extra jobs.
+        a pushed-down IN filter — zero extra jobs. The fold validates the
+        list executor-side: a shard that has additions but is missing
+        from ``dirty_shards`` raises (the bitmap side was pruned away —
+        zero-basing it would silently lose every previously folded key).
 
         Contract: additions must be keys NOT already in the folded
         ledger (the crawl's seen-additions are exact-deduped upstream);
@@ -421,9 +424,11 @@ class BloomStore:
         adds = additions.select(F.col("url_hash"), shard.alias("shard"))
         compacting = self._commits_since_compact >= self.compact_every
         right = self._raw_df(spark)
+        pruned_to: frozenset[int] | None = None
         if dirty_shards is not None and not compacting:
             # pushed-down row-group pruning on the tiny shard table
-            right = right.where(F.col("shard").isin([int(s) for s in dirty_shards]))
+            pruned_to = frozenset(int(s) for s in dirty_shards)
+            right = right.where(F.col("shard").isin(list(pruned_to)))
         m_default = self.m
         self._ver += 1
         ver = self._ver
@@ -432,6 +437,17 @@ class BloomStore:
         def fold(
             key: tuple, adds_pdf: pd.DataFrame, bm_pdf: pd.DataFrame
         ) -> pd.DataFrame:
+            if len(adds_pdf) and pruned_to is not None and int(key[0]) not in pruned_to:
+                # a wrong dirty_shards list filtered this shard's bitmap out
+                # of the cogroup: folding would zero-base it and a higher-_v
+                # row would silently supersede the real bitmap (losing every
+                # previously folded key). Fail loudly instead — the caller's
+                # dirty tracking, not the data, is wrong.
+                raise AssertionError(
+                    f"shard {int(key[0])} has {len(adds_pdf)} additions but is "
+                    "not in dirty_shards — refusing to zero-base a pruned "
+                    "bitmap; pass the shard in dirty_shards (or None)"
+                )
             if not len(adds_pdf) and not emit_all:
                 # clean shard on a delta commit: no row — the previous
                 # version stays current under latest-wins

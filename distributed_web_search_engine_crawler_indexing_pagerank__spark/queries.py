@@ -262,6 +262,18 @@ def q_asof_join(spark, sf_dir):
         "user_id", "ts", F.col("event_id").alias("view_id"),
         F.col("value").alias("view_value"),
     )
+    # asof_join resolves right rows tied on (by, on) by physical window
+    # order — pre-dedupe to the max-view_id row per (user, ts) so both
+    # engines agree on any data (the oracle's rk tie-break is view_id DESC)
+    views = (
+        views.groupBy("user_id", "ts")
+        .agg(F.max(F.struct("view_id", "view_value")).alias("_s"))
+        .select(
+            "user_id", "ts",
+            F.col("_s.view_id").alias("view_id"),
+            F.col("_s.view_value").alias("view_value"),
+        )
+    )
     out = asof_join(clicks, views, on="ts", by="user_id")
     return out.select(
         "click_id", "user_id", "r_view_id",
@@ -420,6 +432,56 @@ FROM fps GROUP BY doc_id
 """
 
 
+def q_winnow_pairs(spark, sf_dir):
+    """Winnowing fingerprints CONSUMED for cross-doc matching: candidate
+    partial-overlap pairs from shared position-stripped fingerprints —
+    the plagiarism-detection join the winnowing operator exists for
+    (r4 verdict next-round #5). Bucketed by fingerprint with a hot-fp
+    df cap, never all-pairs; output pairs feed dup_components exactly
+    like the shingle/LSH paths."""
+    from .operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(_t(spark, sf_dir, "documents"), min_jaccard=0.2)
+
+
+SQL_WINNOW_PAIRS = """
+WITH b AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 1000) AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t, CAST(length(t) - 7 AS INT) AS n FROM b
+  WHERE length(t) - 7 >= 4
+), g AS (
+  SELECT doc_id, CAST(i AS INT) AS p,
+         substr(md5(substr(t, i, 8)), 1, 12)
+           || lpad(CAST(i AS VARCHAR), 6, '0') AS e
+  FROM base, unnest(generate_series(1, n)) s(i)
+), sel AS (
+  SELECT doc_id, p,
+         min(e) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selfp
+  FROM g
+), fps AS (
+  SELECT DISTINCT doc_id, substr(selfp, 1, 12) AS fp FROM sel WHERE p >= 4
+), capped AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df_fp FROM fps
+  ) WHERE df_fp <= 1000
+), sized AS (
+  SELECT doc_id, fp, count(*) OVER (PARTITION BY doc_id) AS n_fp FROM capped
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+         any_value(a.n_fp) AS na, any_value(b.n_fp) AS nb
+  FROM sized a JOIN sized b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter,
+       round(inter / (na + nb - inter), 6) AS jaccard
+FROM pairs WHERE round(inter / (na + nb - inter), 6) >= 0.2
+"""
+
+
 def q_cms_frequency(spark, sf_dir):
     """Count-min frequency sketch: per-user event-count estimates from a
     d=3 × w=1024 sketch (Cormode & Muthukrishnan 2005). The sketch is
@@ -560,8 +622,9 @@ GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling without replacement (Efraimidis &
     Spirakis 2006): per event type, the 5 users with the largest
-    u^(1/w) where u is the md5-uniform of the user id and w the user's
-    event count — heavier users proportionally likelier, yet fully
+    u^(1/w) where u is the md5-uniform of (event_type, user_id) — an
+    independent draw per stratum — and w the user's event count in that
+    stratum: heavier users proportionally likelier, yet fully
     reproducible (no RNG, no partitioning dependence), so exactly
     oracle-able. Same agg-then-WindowGroupLimit shape as heavy hitters:
     weights reduce BEFORE the ranking window."""
@@ -569,9 +632,22 @@ def q_weighted_sample(spark, sf_dir):
     wts = ev.groupBy("event_type", "user_id").agg(
         F.count(F.lit(1)).alias("w")
     )
+    # uniform per (stratum, item), NOT per item: hashing user_id alone
+    # would hand a lucky-hash user the same high u in EVERY event_type
+    # stratum — Efraimidis-Spirakis assumes independent uniforms per draw
     u = (
         F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("event_type"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
         )
         .cast("long")
         .cast("double")
@@ -599,7 +675,7 @@ WITH wts AS (
   FROM events GROUP BY event_type, user_id
 ), scored AS (
   SELECT event_type, user_id, w,
-         round(power(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+         round(power(CAST(('0x' || substr(md5(event_type || '|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
                        / 1152921504606846976.0,
                      1.0 / w), 10) AS score
   FROM wts
@@ -750,7 +826,14 @@ GROUP BY c_mktsegment
 def q_group_quantiles(spark, sf_dir):
     """exact distributed quantiles (p50/p90/p99 of value per event
     type) in ONE window pass — rank-indexed selection, deterministic,
-    unlike the order-dependent GK sketch of approx_percentile."""
+    unlike the order-dependent GK sketch of approx_percentile.
+
+    Scale note: the per-group row_number window is one full sort of
+    each group in a single task — exact by design, but at 100× a skewed
+    group is one task's sort. When the value domain repeats, use
+    :func:`q_group_quantiles_preagg` (same exact answer, the sort runs
+    over distinct values only); when approximate is acceptable,
+    ``approx_percentile`` is the constant-memory path."""
     ev = _t(spark, sf_dir, "events").select("event_type", "value")
     w = Window.partitionBy("event_type").orderBy("value", "event_type")
     wall = Window.partitionBy("event_type")
@@ -799,6 +882,76 @@ FROM r GROUP BY event_type
 """
 
 
+def q_group_quantiles_preagg(spark, sf_dir):
+    """exact group quantiles via PRE-AGGREGATION (r4 verdict next-round
+    #4): count per (group, value) first — a partial-agg-friendly
+    hash aggregate that collapses repeated values map-side — then a
+    cumulative-count window over the (much smaller) distinct-value rows
+    selects the value whose cumulative range covers rank ceil(p·n).
+    Identical answer to :func:`q_group_quantiles` on any data; the
+    per-group sort is over |distinct values| rows instead of |rows|, so
+    a skewed group with a low-cardinality value domain no longer means
+    one task sorting the whole group."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    cnts = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    r = cnts.select(
+        "event_type",
+        "value",
+        "c",
+        F.sum("c").over(wcum).alias("_cum"),
+        F.sum("c").over(wall).alias("_n"),
+    )
+
+    def _q(p):
+        # the value whose cumulative-count range [cum-c+1, cum] covers
+        # the 1-based rank ceil(p*n) — same "lower" exact quantile as
+        # the row-granular variant
+        tgt = F.greatest(F.lit(1), F.ceil(F.lit(p) * F.col("_n")))
+        return F.max(
+            F.when(
+                (F.col("_cum") >= tgt) & ((F.col("_cum") - F.col("c")) < tgt),
+                F.col("value"),
+            )
+        )
+
+    return r.groupBy("event_type").agg(
+        F.round(_q(0.5), 4).alias("p50"),
+        F.round(_q(0.9), 4).alias("p90"),
+        F.round(_q(0.99), 4).alias("p99"),
+    )
+
+
+SQL_GROUP_QUANTILES_PREAGG = """
+WITH c AS (
+  SELECT event_type, value, count(*) AS c
+  FROM events GROUP BY event_type, value
+), r AS (
+  SELECT event_type, value, c,
+         sum(c) OVER (PARTITION BY event_type ORDER BY value
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type,
+       round(max(CASE WHEN cum >= greatest(1, CAST(ceil(0.5  * n) AS BIGINT))
+                       AND cum - c < greatest(1, CAST(ceil(0.5  * n) AS BIGINT))
+                      THEN value END), 4) AS p50,
+       round(max(CASE WHEN cum >= greatest(1, CAST(ceil(0.9  * n) AS BIGINT))
+                       AND cum - c < greatest(1, CAST(ceil(0.9  * n) AS BIGINT))
+                      THEN value END), 4) AS p90,
+       round(max(CASE WHEN cum >= greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                       AND cum - c < greatest(1, CAST(ceil(0.99 * n) AS BIGINT))
+                      THEN value END), 4) AS p99
+FROM r GROUP BY event_type
+"""
+
+
 def q_gap_sessions(spark, sf_dir):
     """batch gap-based sessionization (30-min inactivity splits a
     session): flag + running sum in one keyed window pair — the batch
@@ -831,12 +984,15 @@ SQL_GAP_SESSIONS = """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec FROM events
 ), f AS (
-  SELECT user_id, sec,
+  SELECT user_id, sec, event_id,
          CASE WHEN sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
 ), s AS (
+  -- ORDER BY must carry the same (sec, event_id) tie-break as the Spark
+  -- window: with duplicate (user_id, sec) at a session boundary an
+  -- sec-only order can assign the tied rows to different sessions
   SELECT user_id, sec,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY sec
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM f
 )
@@ -2193,18 +2349,37 @@ SQL_MEDIA_FEATURES = _sql_media_features()
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, tuple[Callable, str | None]] = {
-    # relational core
-    "q_scan_filter_project": (q_scan_filter_project, SQL_SCAN),
-    "q_flatmap_wordcount": (q_flatmap_wordcount, SQL_WORDCOUNT),
-    "q_distinct": (q_distinct, SQL_DISTINCT),
-    "q_groupby_collect": (q_groupby_collect, SQL_GROUPBY_COLLECT),
-    "q_agg_fold": (q_agg_fold, SQL_AGG_FOLD),
-    "q_tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
-    "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
-    "q_intersection": (q_intersection, SQL_INTERSECTION),
-    "q_top_orders": (q_top_orders, SQL_TOP_ORDERS),
-    "q_window_sessionize": (q_window_sessionize, SQL_WINDOW),
+    # ORDERING CONTRACT (r4 verdict next-round #1 / r4 ADVICE low): the
+    # external driver's oracle gate checks the FIRST 50 entries only, so
+    # entries are keyed by ATTESTATION RECENCY, not category — the
+    # never/least driver-checked queries and anything NEW or CHANGED
+    # this round lead; the longest-green rows (r01–r04 driver history)
+    # rotate behind the window. Add future queries at the TOP.
+    #
+    # -- never driver-checked (r4 verdict "What's missing" #1)
+    "q_curate": (q_curate, SQL_CURATE),
+    "q_dup_spans": (q_dup_spans, SQL_DUP_SPANS),
+    # -- new this round
+    "q_winnow_pairs": (q_winnow_pairs, SQL_WINNOW_PAIRS),
+    "q_group_quantiles_preagg": (
+        q_group_quantiles_preagg,
+        SQL_GROUP_QUANTILES_PREAGG,
+    ),
+    # -- changed this round (decorrelated uniforms / tie-break fixes)
+    "q_weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
+    "q_gap_sessions": (q_gap_sessions, SQL_GAP_SESSIONS),
     "q_asof_join": (q_asof_join, SQL_ASOF),
+    # -- outside the driver window in r04 (green r03 or builder-only)
+    "q_repetition": (q_repetition, SQL_REPETITION),
+    "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
+    "q_contamination": (q_contamination, SQL_CONTAMINATION),
+    "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "q_ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
+    "q_ivf_kmeans": (q_ivf_kmeans, SQL_IVF_KMEANS),
+    "q_sample": (q_sample, SQL_SAMPLE),
+    "q_pagerank_docs": (q_pagerank_docs, SQL_PAGERANK_DOCS),
+    "q_media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    # -- r04 driver-green, retained in-window
     "q_range_join": (q_range_join, SQL_RANGE_JOIN),
     "q_time_rollup": (q_time_rollup, SQL_TIME_ROLLUP),
     "q_kmv_distinct": (q_kmv_distinct, SQL_KMV_DISTINCT),
@@ -2215,17 +2390,11 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_cms_frequency": (q_cms_frequency, SQL_CMS_FREQUENCY),
     "q_winnow": (q_winnow, SQL_WINNOW),
     "q_grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
-    "q_weighted_sample": (q_weighted_sample, SQL_WEIGHTED_SAMPLE),
     "q_cube": (q_cube, SQL_CUBE),
     "q_salted_join": (q_salted_join, SQL_SALTED_JOIN),
     "q_group_quantiles": (q_group_quantiles, SQL_GROUP_QUANTILES),
-    "q_gap_sessions": (q_gap_sessions, SQL_GAP_SESSIONS),
     "q_pivot": (q_pivot, SQL_PIVOT),
     "q_except": (q_except, SQL_EXCEPT),
-    # crawl domain
-    "q_url_identity": (q_url_identity, SQL_URL_IDENTITY),
-    "q_politeness_window": (q_politeness_window, SQL_POLITENESS),
-    "q_frontier_antijoin": (q_frontier_antijoin, SQL_ANTIJOIN),
     "q_posting_and": (q_posting_and, SQL_POSTING_AND),
     "q_spellcheck": (q_spellcheck, SQL_SPELLCHECK),
     "q_point_lookup": (q_point_lookup, SQL_POINT_LOOKUP),
@@ -2233,10 +2402,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_search_scoring": (q_search_scoring, SQL_SEARCH_SCORING),
     "q_geo_boost": (q_geo_boost, SQL_GEO_BOOST),
     "q_bm25": (q_bm25, SQL_BM25),
-    # indexing / scoring
     "q_index_words": (q_index_words, SQL_INDEX_WORDS),
     "q_tfidf_docs": (q_tfidf_docs, SQL_TFIDF),
-    # training-data ops
     "q_token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "q_lang_id": (q_lang_id, SQL_LANG_ID),
     "q_quality": (q_quality, SQL_QUALITY),
@@ -2247,19 +2414,21 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "q_dup_components": (q_dup_components, SQL_DUP_COMPONENTS),
     "q_stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
-    "q_repetition": (q_repetition, SQL_REPETITION),
-    "q_quality_filter": (q_quality_filter, SQL_QUALITY_FILTER),
-    "q_contamination": (q_contamination, SQL_CONTAMINATION),
-    "q_curate": (q_curate, SQL_CURATE),
-    "q_dup_spans": (q_dup_spans, SQL_DUP_SPANS),
-    # similarity
-    "q_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "q_ivf_ann": (q_ivf_ann, SQL_IVF_ANN),
-    "q_ivf_kmeans": (q_ivf_kmeans, SQL_IVF_KMEANS),
-    # formerly rows-only — now with exact cross-engine oracles
-    "q_sample": (q_sample, SQL_SAMPLE),
-    "q_pagerank_docs": (q_pagerank_docs, SQL_PAGERANK_DOCS),
-    "q_media_features": (q_media_features, SQL_MEDIA_FEATURES),
+    # -- longest driver-green history (r01–r04) → behind the 50-row
+    #    window; every one of these has a green row in r04 ∪ earlier
+    "q_scan_filter_project": (q_scan_filter_project, SQL_SCAN),
+    "q_flatmap_wordcount": (q_flatmap_wordcount, SQL_WORDCOUNT),
+    "q_distinct": (q_distinct, SQL_DISTINCT),
+    "q_groupby_collect": (q_groupby_collect, SQL_GROUPBY_COLLECT),
+    "q_agg_fold": (q_agg_fold, SQL_AGG_FOLD),
+    "q_tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "q_join_agg": (q_join_agg, SQL_JOIN_AGG),
+    "q_intersection": (q_intersection, SQL_INTERSECTION),
+    "q_top_orders": (q_top_orders, SQL_TOP_ORDERS),
+    "q_window_sessionize": (q_window_sessionize, SQL_WINDOW),
+    "q_url_identity": (q_url_identity, SQL_URL_IDENTITY),
+    "q_politeness_window": (q_politeness_window, SQL_POLITENESS),
+    "q_frontier_antijoin": (q_frontier_antijoin, SQL_ANTIJOIN),
 }
 
 

@@ -329,3 +329,53 @@ def test_frontier_delta_commit_is_o_churn(spark, tmp_path):
         assert ups.where(F.col("disc_wave") != wave).count() == 0
         # tombstone side: the wave consumed something (seeds at wave 0)
         assert drows.where(F.col("_tomb")).count() > 0
+
+
+def test_fold_rejects_incomplete_dirty_shards(spark, cat):
+    """r4 ADVICE medium: a dirty_shards list that OMITS a shard with
+    additions prunes that shard's bitmap out of the cogroup — folding
+    would zero-base it and a higher-_v row would silently supersede the
+    real bitmap, losing every previously folded key. The fold must
+    raise instead, and the committed state must be untouched."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.plans.bloom import (
+        shard_of_host,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    store = BloomStore(cat, n_shards=8, bits_per_shard=1 << 14)
+    store.build_from_seen(_seen(spark, 0, 1000))
+    base_snap = cat.current_snapshot(store.table)
+
+    adds = _seen(spark, 1000, 1400)
+    real_dirty = sorted(
+        r["s"]
+        for r in adds.select(shard_of_host(F.col("host"), 8).alias("s"))
+        .distinct()
+        .collect()
+    )
+    assert len(real_dirty) > 1
+    wrong = real_dirty[:-1]  # omit one genuinely dirty shard
+    with pytest.raises((Py4JJavaError, Exception)) as exc:
+        store.fold_additions(adds, dirty_shards=wrong)
+    assert "refusing to zero-base" in str(exc.value)
+    # the failed job committed nothing: snapshot chain unchanged, and a
+    # correct fold afterwards still matches the exact answer
+    assert (
+        cat.current_snapshot(store.table).snapshot_id == base_snap.snapshot_id
+    )
+    store.fold_additions(adds, dirty_shards=real_dirty)
+    seen_view = _seen(spark, 0, 1400)
+    cand = _cand(spark, 500, 2000)
+    got = {
+        r["url_hash"]
+        for r in store.filter_unseen(
+            spark, cand, seen_view.select("url_hash")
+        ).collect()
+    }
+    exact = {
+        r["url_hash"]
+        for r in cand.join(
+            seen_view.select("url_hash"), "url_hash", "left_anti"
+        ).collect()
+    }
+    assert got == exact

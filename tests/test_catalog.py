@@ -213,3 +213,68 @@ def test_orphan_guard_takeover_is_atomic(spark, cat):
     # the rival's claim survives; state unchanged
     assert os.path.exists(guard)
     assert [r["x"] for r in cat.read(spark, "t").collect()] == [1]
+
+
+def test_rival_takeover_cannot_unlink_fresh_guard(spark, cat):
+    """r4 ADVICE medium: TWO resumed writers both judge the same guard
+    stale. Writer A completes its takeover first (marker + unlink +
+    fresh guard); writer B — holding only its pre-takeover stat — must
+    lose the (ino, mtime_ns) takeover marker and never touch A's LIVE
+    guard. The old unconditional unlink removed A's fresh guard here,
+    letting both writers claim the same snapshot id."""
+    import time as _time
+    import unittest.mock as mock
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog import (
+        STALE_GUARD_SECONDS,
+        CommitConflict,
+    )
+
+    cat.write("t", _df(spark, [1]))
+    nxt = cat.current_snapshot("t").snapshot_id + 1
+    guard = os.path.join(cat._table_dir("t"), f".commit-{nxt:06d}")
+    open(guard, "w").close()
+    old = _time.time() - (STALE_GUARD_SECONDS + 5)
+    os.utime(guard, (old, old))
+
+    real_open = os.open
+    state = {"raced": False}
+
+    def open_with_rival(path, flags, *a, **kw):
+        base = os.path.basename(str(path))
+        if ".takeover-" in base and not state["raced"]:
+            state["raced"] = True
+            # rival A — who statted the SAME dead guard instance — lands
+            # its whole takeover between B's stat and B's marker claim
+            os.close(real_open(path, flags, *a, **kw))  # A's marker
+            os.unlink(guard)
+            os.close(
+                real_open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            )  # A's FRESH guard (live claim)
+        return real_open(path, flags, *a, **kw)
+
+    with mock.patch(
+        "distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog.os.open",
+        side_effect=open_with_rival,
+    ):
+        with pytest.raises(CommitConflict):
+            cat.write("t", _df(spark, [2]))
+    # A's live guard survived B's loss — B never reached an unlink
+    assert os.path.exists(guard)
+    assert _time.time() - os.path.getmtime(guard) < STALE_GUARD_SECONDS
+    assert [r["x"] for r in cat.read(spark, "t").collect()] == [1]
+
+
+def test_vacuum_sweeps_consumed_takeover_markers(spark, cat):
+    """Takeover markers persist past the commit (deleting them early
+    re-opens the double-claim race) and are swept by vacuum once their
+    snapshot id is committed — in-flight ids' markers survive."""
+    cat.write("t", _df(spark, [1]))
+    tdir = cat._table_dir("t")
+    committed = os.path.join(tdir, ".commit-000001.takeover-12345-67890")
+    inflight = os.path.join(tdir, ".commit-000099.takeover-11111-22222")
+    open(committed, "w").close()
+    open(inflight, "w").close()
+    cat.vacuum("t")
+    assert not os.path.exists(committed)
+    assert os.path.exists(inflight)

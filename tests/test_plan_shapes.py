@@ -216,3 +216,38 @@ def test_winnow_single_shuffle_all_jvm(spark, sf_dir):
     assert sum("Scan parquet" in l for l in lines) == 1, tree
     assert any("Window" in l for l in lines), tree
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnow_pairs_bucketed_join_no_all_pairs(spark, sf_dir):
+    """Winnow pair generation must meet on the fingerprint key (bucketed
+    equi-join) — never a cartesian/nested-loop all-pairs shape — and
+    stay JVM-side end to end."""
+    plan = plan_of(Q.QUERIES["q_winnow_pairs"][0](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert any("HashJoin" in l or "SortMergeJoin" in l for l in tree.splitlines()), tree
+    # the equi-join is keyed on the fingerprint (details section carries
+    # the join keys)
+    assert any(
+        "keys" in l and "fp#" in l for l in plan.splitlines()
+    ), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_group_quantiles_preagg_aggregates_before_window(spark, sf_dir):
+    """The pre-agg quantile variant must collapse (group, value) counts
+    in a hash aggregate BELOW the window's exchange — map-side partials
+    absorb repeated values before anything is sorted — with the final
+    quantile selection above the window."""
+    plan = plan_of(Q.QUERIES["q_group_quantiles_preagg"][0](spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    lines = tree.splitlines()
+    win = [i for i, l in enumerate(lines) if "Window" in l and "WindowGroupLimit" not in l]
+    agg = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    assert win and agg, tree
+    # top-down print: the (group,value) count partial+final sit BELOW
+    # the window; the quantile-selection agg sits ABOVE it
+    assert sum(a > max(win) for a in agg) >= 2, tree
+    assert any(a < min(win) for a in agg), tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -89,3 +89,45 @@ def test_winnow_partitioning_invariant(spark):
     a = sorted(map(tuple, winnow_fingerprints(df).collect()))
     b = sorted(map(tuple, winnow_fingerprints(df.repartition(7)).collect()))
     assert a == b and len(a) == 40
+
+
+def test_winnow_pairs_catch_shared_substring_and_feed_components(spark):
+    """The r4 verdict #5 integration: fingerprint-overlap pairs find the
+    docs sharing a long substring (at DIFFERENT offsets — the position-
+    stripped form), and the pairs feed dup_components into one group;
+    the unrelated doc stays out."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.dedup import (
+        dup_components,
+        winnow_overlap_pairs,
+    )
+
+    common = "the quick brown fox jumps over the lazy dog again and again " * 3
+    rows = [
+        ("a", "PREFIX-A " + common),
+        ("b", "a totally different and much longer prefix here " + common),
+        ("c", common + " SUFFIX-C trailing content"),
+        ("z", "unrelated text with no shared character runs at all, "
+              "padded out to comfortably clear the minimum gram count"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = winnow_overlap_pairs(df, min_jaccard=0.2)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {("a", "b"), ("a", "c"), ("b", "c")}, got
+    comp = dup_components(pairs, id_a="doc_a", id_b="doc_b")
+    by_doc = {r[0]: r[1] for r in comp.collect()}
+    assert by_doc == {"a": "a", "b": "a", "c": "a"}, by_doc
+
+
+def test_winnow_pairs_position_invariant(spark):
+    """Same substring at different offsets must still pair — the whole
+    reason the pair join strips positions off the fingerprints."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+
+    core = "copied paragraph body shared verbatim between both docs " * 2
+    rows = [("x", core + "x-only tail"), ("y", "y-only very long head padding before " + core)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = winnow_overlap_pairs(df, min_jaccard=0.1).collect()
+    assert len(got) == 1 and got[0]["doc_a"] == "x" and got[0]["doc_b"] == "y"
+    assert 0 < got[0]["jaccard"] <= 1
