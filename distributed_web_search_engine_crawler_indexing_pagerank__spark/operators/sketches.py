@@ -31,6 +31,9 @@ __all__ = [
     "kmv_signature",
     "kmv_pair_overlap",
     "hll_distinct",
+    "hll_registers",
+    "hll_merge_registers",
+    "hll_estimate",
     "hll_oracle_sql",
     "cms_sketch",
     "cms_estimate",
@@ -136,16 +139,38 @@ def hll_distinct(
     ``key`` is hashed as a string — cast non-strings upstream so the
     oracle's CAST semantics match.
     """
+    return hll_estimate(hll_registers(df, key, by), by, out_col)
+
+
+def hll_registers(df: DataFrame, key: str, by: list[str]) -> DataFrame:
+    """→ (by…, _b, _m): the HLL register table — max rho per (group,
+    bucket). Registers MERGE by ``max`` (idempotent, commutative,
+    associative), so register tables built over any partition of the
+    data — including streaming micro-batches — fold to exactly the
+    registers of the union: the streaming-parity primitive."""
     hx = F.md5(F.col(key))
     bucket = (F.conv(F.substring(hx, 1, 2), 16, 10).cast("int") % HLL_M).alias(
         "_b"
     )
     tail = F.substring(hx, 3, 15)
-    regs = (
+    return (
         df.select(*by, bucket, _hll_rho(tail).alias("_rho"))
         .groupBy(*by, "_b")
         .agg(F.max("_rho").alias("_m"))
     )
+
+
+def hll_merge_registers(a: DataFrame, b: DataFrame, by: list[str]) -> DataFrame:
+    """Fold two register tables (same ``by``) into one: per-register max."""
+    return (
+        a.unionByName(b).groupBy(*by, "_b").agg(F.max("_m").alias("_m"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame, by: list[str], out_col: str = "est_distinct"
+) -> DataFrame:
+    """Estimate from a register table (:func:`hll_registers` output)."""
     # exact integer register sum: each register adds 2^(CAP-m); empty
     # registers (m=0) add 2^CAP each — order-independent BIGINT math
     agg = regs.groupBy(*by).agg(
