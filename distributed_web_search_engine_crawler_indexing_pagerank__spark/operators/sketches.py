@@ -393,3 +393,60 @@ def cms_estimate(
     return probed.groupBy(key).agg(
         F.min(F.coalesce("_cnt", F.lit(0))).alias(out_col)
     )
+
+
+# --- mergeable-state forms for streaming parity ---------------------------
+# Each sketch in the family now has the same three-piece contract the
+# HLL gained in round 4: build(batch) -> mergeable state, merge(a, b) ->
+# state, estimate(state) -> answer, with merge idempotent-or-additive so
+# folding per-micro-batch states into a catalog table yields EXACTLY the
+# batch answer over the union of all batches (streaming/crawl_stream.py
+# wires each into a foreachBatch fold).
+
+
+def kmv_merge_signatures(
+    a: DataFrame, b: DataFrame, by: list[str], k: int = 64
+) -> DataFrame:
+    """Fold two KMV signature tables (:func:`kmv_signature` output,
+    same ``by``) into one: union, drop duplicate hash values (``_u`` is
+    a pure function of the key, so cross-batch repeats collide exactly),
+    re-cap at the ``k`` smallest per group. Top-k of a union equals
+    top-k of the union of per-subset top-k's, so merge order never
+    matters."""
+    w = Window.partitionBy(*by).orderBy("_u")
+    return (
+        a.unionByName(b)
+        .distinct()
+        .select(*by, "_u", F.row_number().over(w).alias("_rk"))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def kmv_estimate_from_signature(
+    sig: DataFrame,
+    by: list[str],
+    k: int = 64,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Terminal KMV estimate from a signature table — identical formula
+    to :func:`kmv_distinct` (exact below ``k`` distinct keys, else
+    ``(k-1)/max(u)``), so ``estimate(merge(sig(b1), sig(b2)))`` equals
+    ``kmv_distinct(b1 ∪ b2)`` row-for-row."""
+    return sig.groupBy(*by).agg(
+        F.when(F.count("_u") < k, F.count("_u").cast("double"))
+        .otherwise((k - 1) / F.max("_u"))
+        .alias(out_col)
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Fold two count-min sketches (:func:`cms_sketch` output, same
+    d/w): counters are ADDITIVE across disjoint event sets — a stream's
+    micro-batches partition the events, so the summed sketch equals the
+    batch sketch over the union. State stays ≤ d·w rows."""
+    return (
+        a.unionByName(b)
+        .groupBy("_row", "_bucket")
+        .agg(F.sum("_cnt").alias("_cnt"))
+    )

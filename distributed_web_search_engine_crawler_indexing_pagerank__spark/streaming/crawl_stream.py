@@ -245,3 +245,80 @@ def hll_sketch_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def kmv_sketch_stream(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    catalog,
+    key: str,
+    by: list[str],
+    k: int = 64,
+    schema: str | None = None,
+    table: str = "kmv_signature",
+):
+    """Streaming KMV: fold each micro-batch's k-smallest-hash signature
+    (``kmv_signature``) into a catalog table via ``kmv_merge_signatures``
+    — union, dedupe identical hash values, re-cap at k — so
+    ``kmv_estimate_from_signature`` over the folded table equals the
+    batch ``kmv_distinct`` over the union of every batch ever seen.
+    State is ≤ |groups|·k rows regardless of stream length; same
+    fold-into-catalog shape as :func:`hll_sketch_stream`."""
+    from ..operators.sketches import kmv_merge_signatures, kmv_signature
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    raw = reader.format("parquet").load(src_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sig = kmv_signature(batch_df, key, by, k)
+        if catalog.exists(table):
+            sig = kmv_merge_signatures(
+                catalog.read(batch_df.sparkSession, table), sig, by, k
+            )
+        catalog.write(table, sig, properties={"stream_batch": int(batch_id)})
+
+    return (
+        raw.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cms_sketch_stream(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    catalog,
+    key: str,
+    schema: str | None = None,
+    table: str = "cms_sketch",
+):
+    """Streaming count-min: micro-batches partition the event stream,
+    so summing per-batch sketches (``cms_merge``) reproduces the batch
+    ``cms_sketch`` over the union exactly — counters are additive over
+    disjoint event sets. State is ≤ d·w rows (constant) forever; the
+    live dashboard probes it with the same broadcast ``cms_estimate``
+    the batch path uses."""
+    from ..operators.sketches import cms_merge, cms_sketch
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    raw = reader.format("parquet").load(src_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        sk = cms_sketch(batch_df, key)
+        if catalog.exists(table):
+            sk = cms_merge(catalog.read(batch_df.sparkSession, table), sk)
+        catalog.write(table, sk, properties={"stream_batch": int(batch_id)})
+
+    return (
+        raw.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -309,3 +309,130 @@ def test_hll_sketch_stream_matches_batch_after_micro_batches(spark, tmp_path):
         for r in hll_distinct(everything, "uid", ["grp"]).collect()
     }
     assert streamed == batch_est and set(streamed) == {"a", "b"}
+
+
+def test_kmv_sketch_stream_matches_batch_after_micro_batches(spark, tmp_path):
+    """Streaming KMV parity: fold signatures over 3 micro-batches (two
+    availableNow runs, restart in between, overlapping uid ranges), then
+    the estimate from the folded signature must EQUAL the batch
+    kmv_distinct over the union of all batches, with state capped at
+    |groups|*k rows."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog import Catalog
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.sketches import (
+        kmv_distinct,
+        kmv_estimate_from_signature,
+    )
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.streaming.crawl_stream import (
+        kmv_sketch_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cat = Catalog(str(tmp_path / "cat"))
+    schema = "grp string, uid string"
+    k = 32
+
+    def batch(lo, hi, grp):
+        return [(grp, f"user-{i}") for i in range(lo, hi)]
+
+    spark.createDataFrame(batch(0, 300, "a") + batch(0, 20, "b"), schema) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(batch(150, 450, "a"), schema) \
+        .write.mode("append").parquet(src)
+    kmv_sketch_stream(
+        spark, src, ckpt, cat, key="uid", by=["grp"], k=k, schema=schema
+    ).awaitTermination(120)
+
+    spark.createDataFrame(batch(5, 200, "b"), schema) \
+        .write.mode("append").parquet(src)
+    kmv_sketch_stream(
+        spark, src, ckpt, cat, key="uid", by=["grp"], k=k, schema=schema
+    ).awaitTermination(120)
+
+    folded = cat.read(spark, "kmv_signature")
+    assert folded.count() <= 2 * k
+    streamed = {
+        r["grp"]: r["est_distinct"]
+        for r in kmv_estimate_from_signature(folded, ["grp"], k).collect()
+    }
+    everything = spark.createDataFrame(
+        batch(0, 450, "a") + batch(0, 200, "b"), schema
+    )
+    batch_est = {
+        r["grp"]: r["est_distinct"]
+        for r in kmv_distinct(everything, "uid", ["grp"], k).collect()
+    }
+    assert streamed == batch_est and set(streamed) == {"a", "b"}
+    # group b crossed k only via the merged state; group a is capped
+    assert streamed["a"] != 450.0  # estimate, not exact count
+
+
+def test_cms_sketch_stream_matches_batch_after_micro_batches(spark, tmp_path):
+    """Streaming CMS parity: summed per-batch sketches equal the batch
+    sketch over the union (counters additive over the stream's disjoint
+    micro-batches); probe estimates agree exactly and state stays d*w."""
+    from pyspark.sql import functions as F
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog import Catalog
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.sketches import (
+        CMS_D,
+        CMS_W,
+        cms_estimate,
+        cms_sketch,
+    )
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.streaming.crawl_stream import (
+        cms_sketch_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cat = Catalog(str(tmp_path / "cat"))
+    schema = "url string"
+
+    def batch(spec):
+        # spec: {url: occurrences}
+        return [(u,) for u, n in spec.items() for _ in range(n)]
+
+    b1 = {"u-hot": 50, "u-warm": 5, "u-cold": 1}
+    b2 = {"u-hot": 30, "u-new": 7}
+    b3 = {"u-hot": 20, "u-warm": 5, "u-cold": 2}
+    spark.createDataFrame(batch(b1), schema).write.mode("append").parquet(src)
+    spark.createDataFrame(batch(b2), schema).write.mode("append").parquet(src)
+    cms_sketch_stream(
+        spark, src, ckpt, cat, key="url", schema=schema
+    ).awaitTermination(120)
+    spark.createDataFrame(batch(b3), schema).write.mode("append").parquet(src)
+    cms_sketch_stream(
+        spark, src, ckpt, cat, key="url", schema=schema
+    ).awaitTermination(120)
+
+    folded = cat.read(spark, "cms_sketch")
+    assert folded.count() <= CMS_D * CMS_W
+    # total mass conserved: sum over any hash row == total events
+    total = sum(sum(s.values()) for s in (b1, b2, b3))
+    per_row = {
+        r["_row"]: r["s"]
+        for r in folded.groupBy("_row").agg(F.sum("_cnt").alias("s")).collect()
+    }
+    assert all(v == total for v in per_row.values())
+
+    keys = spark.createDataFrame(
+        [("u-hot",), ("u-warm",), ("u-cold",), ("u-new",), ("u-absent",)],
+        schema,
+    )
+    streamed = {
+        r["url"]: r["est_count"]
+        for r in cms_estimate(keys, folded, "url").collect()
+    }
+    everything = spark.createDataFrame(
+        batch(b1) + batch(b2) + batch(b3), schema
+    )
+    batch_probe = {
+        r["url"]: r["est_count"]
+        for r in cms_estimate(
+            keys, cms_sketch(everything, "url"), "url"
+        ).collect()
+    }
+    assert streamed == batch_probe
+    # CMS never undercounts; with d*w >> 5 keys the estimates are exact
+    assert streamed["u-hot"] == 100 and streamed["u-absent"] == 0
