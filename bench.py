@@ -33,13 +33,13 @@ from distributed_web_search_engine_crawler_indexing_pagerank__spark.session impo
     get_spark,
 )
 
-# In-session A/B reference: the commit whose BENCH_r03 numbers were
+# In-session A/B reference: the commit whose BENCH_r04 numbers were
 # recorded. This box's delivered capacity swings ~2x between measurement
 # windows on identical code (BENCH/BASELINE.md), so cross-round deltas
 # are confounded; replaying the pinned commit's crawl bench back-to-back
 # in THIS window answers the regression question inside the artifact:
 # ab_ratio = current crawl_sec / ab_ref_sec  (< 1 ⇒ current code faster).
-AB_REF_COMMIT = "d35a2c2c5400f2cc8fdd4c3a19d8d1592fa94f1b"
+AB_REF_COMMIT = "45609b60f5375ef8bb582f21dadc5d59ad95762e"  # round-4 final
 
 _AB_DRIVER = r"""
 import json, os, shutil, sys, tempfile
@@ -138,6 +138,8 @@ HEADLINE = [
     "q_grouping_sets",
     "q_weighted_sample",
     "q_heavy_hitters",
+    "q_winnow_pairs",
+    "q_group_quantiles_preagg",
 ]
 
 
@@ -191,7 +193,7 @@ def main() -> None:
             shutil.rmtree(workdir, ignore_errors=True)
     timings["crawl_replay"] = crawl["crawl_sec"]
 
-    # same-window, same-protocol A/B vs the pinned round-3 commit
+    # same-window, same-protocol A/B vs the pinned previous-round commit
     ab_params = {**crawl_params, "cores": cpus}
     ab_head, ab_ref = run_ab(ab_params, fast)
     ab_head_sec = round(ab_head["crawl_sec"], 3) if ab_head else None
