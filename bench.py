@@ -140,6 +140,7 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_winnow_pairs",
     "q_group_quantiles_preagg",
+    "q_pagerank_delta",
 ]
 
 

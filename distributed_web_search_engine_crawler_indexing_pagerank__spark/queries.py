@@ -2293,6 +2293,148 @@ SELECT url, round(rank, 8) AS rank FROM r{PAGERANK_Q_ITERS}
 
 SQL_PAGERANK_DOCS = _sql_pagerank_docs()
 
+PAGERANK_DELTA_ITERS = 4  # warm-start phase budget (vs 8 from cold)
+
+
+def q_pagerank_delta(spark, sf_dir):
+    """incremental PageRank (plans/pagerank.py::pagerank_incremental's
+    machinery): rank a 90% base graph for PAGERANK_Q_ITERS iterations,
+    then warm-start the grown full graph from the mass-normalized base
+    vector for only PAGERANK_DELTA_ITERS iterations — the continuous
+    crawl's cheap re-rank after a wave. Fixed iteration counts (eps=0)
+    and an INTEGER-mass seed normalization (sum of round(rank·1e8)
+    longs, order-independent) keep every arithmetic step bit-identical
+    between engines, so the unrolled two-phase CTE oracle hash-matches.
+    The link universe is fixed at n for both phases, so growing the
+    vertex set only activates edges — base-vertex out-edges never
+    change, exactly a crawl frontier absorbing a new wave."""
+    from .plans.pagerank import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    m = n - n // 10
+
+    def mk_graph(df):
+        return df.select(
+            F.col("doc_id").cast("string").alias("src"),
+            F.array(
+                ((F.col("doc_id") * F.col("doc_id") + 1) % n).cast("string"),
+                ((F.col("doc_id") * 3 + 2) % n).cast("string"),
+            ).alias("dests"),
+        )
+
+    base = pagerank(
+        mk_graph(docs.where(F.col("doc_id") < m)),
+        eps=0.0,
+        max_iter=PAGERANK_Q_ITERS,
+    )
+    r8 = base.select(
+        "url", F.round(F.col("rank") * F.lit(1e8)).cast("long").alias("r8")
+    )
+    s_int = r8.agg(F.sum("r8")).first()[0]
+    # one Python double op per step, mirrored literally in the SQL
+    c1 = (float(m) / float(n)) / (float(s_int) / 1e8)
+    seed = r8.select(
+        "url",
+        ((F.col("r8").cast("double") / F.lit(1e8)) * F.lit(c1)).alias("rank"),
+    )
+    full = pagerank(
+        mk_graph(docs),
+        eps=0.0,
+        max_iter=PAGERANK_DELTA_ITERS,
+        init_ranks=seed,
+    )
+    return full.select("url", F.round("rank", 8).alias("rank"))
+
+
+def _sql_pagerank_delta() -> str:
+    """Two-phase unrolled CTE mirror of q_pagerank_delta: base-graph
+    iterations (gather drops dst outside the base vertex set, outdeg
+    still counts them — the reference's leak semantics), integer-mass
+    seed, warm-phase iterations on the full graph. Every double op is
+    written in the same order the Spark side computes it."""
+    from .plans.pagerank import DAMPING
+
+    base = f"'{(1.0 - DAMPING)!r}'::DOUBLE"
+    d_lit = f"'{DAMPING!r}'::DOUBLE"
+    e8 = "CAST(100000000 AS DOUBLE)"
+    b_iters = []
+    for k in range(1, PAGERANK_Q_ITERS + 1):
+        prev = f"b{k - 1}"
+        b_iters.append(f"""b{k} AS (
+  SELECT v.url,
+         {base} / nn.m + {d_lit} * coalesce(c.inbound, CAST(0 AS DOUBLE)) AS rank
+  FROM vbase v CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS url, sum(r.rank / o.outdeg) AS inbound
+    FROM ebase e JOIN obase o ON e.src = o.src
+    JOIN {prev} r ON r.url = e.src
+    GROUP BY e.dst
+  ) c ON v.url = c.url
+)""")
+    w_iters = []
+    for k in range(1, PAGERANK_DELTA_ITERS + 1):
+        prev = f"w{k - 1}"
+        w_iters.append(f"""w{k} AS (
+  SELECT v.url,
+         {base} / nn.n + {d_lit} * coalesce(c.inbound, CAST(0 AS DOUBLE)) AS rank
+  FROM vfull v CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS url, sum(r.rank / o.outdeg) AS inbound
+    FROM edges e JOIN ofull o ON e.src = o.src
+    JOIN {prev} r ON r.url = e.src
+    GROUP BY e.dst
+  ) c ON v.url = c.url
+)""")
+    b_chain = ",\n".join(b_iters)
+    w_chain = ",\n".join(w_iters)
+    return f"""
+WITH nn AS (
+  SELECT count(*) AS n, count(*) - count(*) // 10 AS m FROM documents
+),
+g AS (
+  SELECT CAST(doc_id AS VARCHAR) AS src, doc_id,
+         CAST((doc_id * doc_id + 1) % (SELECT n FROM nn) AS VARCHAR) AS d1,
+         CAST((doc_id * 3 + 2) % (SELECT n FROM nn) AS VARCHAR) AS d2
+  FROM documents
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, d1 AS dst FROM g UNION ALL SELECT src, d2 AS dst FROM g
+  )
+),
+vfull AS (SELECT DISTINCT src AS url FROM g),
+ofull AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+gb AS (SELECT src FROM g WHERE doc_id < (SELECT m FROM nn)),
+vbase AS (SELECT src AS url FROM gb),
+ebase AS (SELECT e.src, e.dst FROM edges e JOIN gb ON gb.src = e.src),
+obase AS (SELECT src, count(*) AS outdeg FROM ebase GROUP BY src),
+b0 AS (
+  SELECT url, CAST(1 AS DOUBLE) / nn.m AS rank FROM vbase CROSS JOIN nn
+),
+{b_chain},
+r8 AS (
+  SELECT url, CAST(round(rank * {e8}) AS BIGINT) AS r8
+  FROM b{PAGERANK_Q_ITERS}
+),
+sint AS (SELECT sum(r8) AS s FROM r8),
+w0 AS (
+  SELECT v.url,
+         CASE WHEN r.r8 IS NOT NULL THEN
+           (CAST(r.r8 AS DOUBLE) / {e8})
+           * ((CAST(nn.m AS DOUBLE) / CAST(nn.n AS DOUBLE))
+              / (CAST(s.s AS DOUBLE) / {e8}))
+         ELSE CAST(1 AS DOUBLE) / nn.n END AS rank
+  FROM vfull v CROSS JOIN nn CROSS JOIN sint s
+  LEFT JOIN r8 r ON v.url = r.url
+),
+{w_chain}
+SELECT url, round(rank, 8) AS rank FROM w{PAGERANK_DELTA_ITERS}
+"""
+
+
+SQL_PAGERANK_DELTA = _sql_pagerank_delta()
+
 
 def q_media_features(spark, sf_dir):
     """multimodal plumbing: binary payloads → mapInPandas fake decode →
@@ -2356,6 +2498,8 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     # this round lead; the longest-green rows (r01–r04 driver history)
     # rotate behind the window. Add future queries at the TOP.
     #
+    # -- new this round (round 5)
+    "q_pagerank_delta": (q_pagerank_delta, SQL_PAGERANK_DELTA),
     # -- never driver-checked (r4 verdict "What's missing" #1)
     "q_curate": (q_curate, SQL_CURATE),
     "q_dup_spans": (q_dup_spans, SQL_DUP_SPANS),

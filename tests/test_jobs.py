@@ -344,3 +344,91 @@ def F_lit0(name):
     from pyspark.sql import functions as F
 
     return F.lit(0.0).alias(name)
+
+
+def test_pagerank_incremental_same_fixpoint_fewer_passes(spark):
+    """Warm-start rank maintenance (pagerank_incremental): after the
+    graph grows 4%, (a) the warm-started run converges to the SAME
+    ranks as a cold full recompute (unique fixpoint of the damped
+    contraction), (b) at the reference's production tolerance
+    eps=0.001 it needs strictly fewer full-graph passes than cold, and
+    (c) the mass-normalized seed sums to 1 even though the partial
+    graph's fixpoint leaks mass through not-yet-crawled dests."""
+    from pyspark.sql import functions as F
+
+    M = 250  # fixed link universe: out-edges never change as n grows
+
+    def graph(n):
+        return spark.range(n).select(
+            F.col("id").cast("string").alias("src"),
+            F.array(
+                ((F.col("id") * F.col("id") + 1) % M).cast("string"),
+                ((F.col("id") * 3 + 2) % M).cast("string"),
+            ).alias("dests"),
+        )
+
+    eps = pr.CONVERGENCE  # the reference's 0.001
+    s_base, s_cold, s_warm = {}, {}, {}
+    base = pr.pagerank(graph(240), eps=eps, max_iter=50, stats=s_base)
+    # partial-crawl fixpoint leaks mass (edges to uncrawled dests drop)
+    base_mass = base.agg(F.sum("rank")).first()[0]
+    assert base_mass < 0.999
+
+    cold = pr.pagerank(graph(250), eps=eps, max_iter=50, stats=s_cold)
+    warm = pr.pagerank_incremental(
+        graph(250), base, eps=eps, max_iter=50, stats=s_warm
+    )
+    assert 0 < s_warm["iterations"] < s_cold["iterations"]
+
+    # both stopped at the same tolerance -> same fixpoint within the
+    # contraction bound d/(1-d)*eps of each other
+    diff = (
+        warm.withColumnRenamed("rank", "w")
+        .join(cold.withColumnRenamed("rank", "c"), "url")
+        .agg(F.max(F.abs(F.col("w") - F.col("c"))))
+        .first()[0]
+    )
+    assert diff < eps * pr.DAMPING / (1 - pr.DAMPING)
+
+    # run both deeper: they approach the identical fixpoint
+    cold9 = pr.pagerank(graph(250), eps=1e-9, max_iter=200)
+    warm9 = pr.pagerank_incremental(graph(250), base, eps=1e-9, max_iter=200)
+    diff9 = (
+        warm9.withColumnRenamed("rank", "w")
+        .join(cold9.withColumnRenamed("rank", "c"), "url")
+        .agg(F.max(F.abs(F.col("w") - F.col("c"))))
+        .first()[0]
+    )
+    assert diff9 < 1e-7
+
+
+def test_pagerank_init_ranks_seed_and_empty_prev(spark):
+    """init_ranks contract: missing vertices fall back to uniform 1/N;
+    an empty/zero previous vector degrades to the cold path instead of
+    dividing by zero."""
+    from pyspark.sql import functions as F
+
+    graph = spark.createDataFrame(
+        [("a", ["b"]), ("b", ["a"]), ("c", ["a"])],
+        "src string, dests array<string>",
+    )
+    # seed only 'a'; b and c fall back to 1/3 — one iteration from that
+    # exact vector must match one iteration of a hand-built seed
+    seed = spark.createDataFrame([("a", 0.5)], "url string, rank double")
+    got = {
+        r["url"]: r["rank"]
+        for r in pr.pagerank(graph, eps=0.0, max_iter=1, init_ranks=seed).collect()
+    }
+    d, n = pr.DAMPING, 3
+    x = {"a": 0.5, "b": 1 / 3, "c": 1 / 3}
+    inbound = {"a": x["b"] + x["c"], "b": x["a"], "c": 0.0}
+    want = {v: (1 - d) / n + d * inbound[v] for v in x}
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+
+    empty_prev = spark.createDataFrame([], "url string, rank double")
+    cold = pr.pagerank(graph, eps=0.0, max_iter=2)
+    via_inc = pr.pagerank_incremental(graph, empty_prev, eps=0.0, max_iter=2)
+    a = {r["url"]: r["rank"] for r in cold.collect()}
+    b = {r["url"]: r["rank"] for r in via_inc.collect()}
+    assert a == b
