@@ -63,6 +63,7 @@ def pagerank(
     ranks_table: str = "pagerank_ranks",
     init_ranks: DataFrame | None = None,
     stats: dict | None = None,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """→ (url, rank): P2–P6 as distributed joins. Vertices = graph sources
     (the reference seeds ranks from the graph table, :229-272).
@@ -82,18 +83,40 @@ def pagerank(
     is a contraction with a unique fixpoint, so ANY start converges to
     the same ranks — the start only changes how many iterations that
     takes. ``stats`` (a caller dict) is filled with the terminal
-    {"iterations", "residual"} so callers can observe that."""
+    {"iterations", "residual"} so callers can observe that.
+
+    ``teleport`` (url, weight; weights should sum to 1 over the vertex
+    set) makes this PERSONALIZED PageRank (Haveliwala 2002): the random
+    surfer restarts into the weight distribution instead of uniformly,
+    so rank concentrates around the seed set — topic- or host-focused
+    authority. Update becomes ``new = ((1−d) + d·dangling)·t_v +
+    d·inbound``; vertices missing from ``teleport`` get t=0 (reachable
+    only through links). The teleport column is folded into the vertex
+    frame ONCE — per-iteration cost is identical to the uniform path.
+    Default start is the teleport vector itself (``init_ranks``
+    overrides)."""
     spark = graph.sparkSession
     vertices = graph.select(F.col("src").alias("url")).distinct().localCheckpoint(eager=True)
     n = vertices.count()
     if n == 0:
         return vertices.withColumn("rank", F.lit(0.0))
+    if teleport is not None:
+        # one join, once — every iteration reuses the checkpointed column
+        vertices = (
+            vertices.join(
+                teleport.withColumnRenamed("weight", "_t"), "url", "left"
+            )
+            .select("url", F.coalesce(F.col("_t"), F.lit(0.0)).alias("t"))
+            .localCheckpoint(eager=True)
+        )
     if init_ranks is not None:
         ranks = (
             vertices.join(init_ranks.withColumnRenamed("rank", "_ir"), "url", "left")
             .select("url", F.coalesce(F.col("_ir"), F.lit(1.0 / n)).alias("rank"))
             .localCheckpoint(eager=True)
         )
+    elif teleport is not None:
+        ranks = vertices.select("url", F.col("t").alias("rank"))
     else:
         ranks = vertices.withColumn("rank", F.lit(1.0 / n))
     start_iter = 0
@@ -134,7 +157,7 @@ def pagerank(
     # from the seed vector on a warm start; n_dangling/n under uniform 1/n
     if resumed_dangling is not None:
         dangling = resumed_dangling
-    elif init_ranks is not None:
+    elif init_ranks is not None or teleport is not None:
         dangling = (
             ranks.join(flags, "url")
             .where(~F.col("has_out"))
@@ -156,16 +179,22 @@ def pagerank(
             .groupBy("url")
             .agg(F.sum("c").alias("inbound"))
         )
+        if teleport is not None:
+            # personalized: restart mass lands on t_v, not 1/n; dangling
+            # mass re-enters through the same teleport distribution
+            upd = (
+                F.lit((1.0 - d) + d * dangling) * F.col("t")
+                + F.lit(d) * F.coalesce(F.col("inbound"), F.lit(0.0))
+            )
+        else:
+            upd = (
+                F.lit((1.0 - d) / n)
+                + F.lit(d) * F.coalesce(F.col("inbound"), F.lit(0.0))
+                + F.lit(d * dangling / n)
+            )
         new_ranks = (
             vertices.join(contribs, "url", "left")
-            .select(
-                "url",
-                (
-                    F.lit((1.0 - d) / n)
-                    + F.lit(d) * F.coalesce(F.col("inbound"), F.lit(0.0))
-                    + F.lit(d * dangling / n)
-                ).alias("rank"),
-            )
+            .select("url", upd.alias("rank"))
             .localCheckpoint(eager=True)  # cut lineage per iteration (P6)
         )
         # one action: L∞ residual + next iteration's dangling mass

@@ -432,3 +432,52 @@ def test_pagerank_init_ranks_seed_and_empty_prev(spark):
     a = {r["url"]: r["rank"] for r in cold.collect()}
     b = {r["url"]: r["rank"] for r in via_inc.collect()}
     assert a == b
+
+
+def test_pagerank_personalized_closed_form(spark):
+    """Personalized PageRank vs a numpy power iteration of the update
+    ``new = ((1-d) + d*dangling)*t_v + d*inbound`` on a 4-node graph
+    with a dangling node and a 1-node teleport set: rank concentrates
+    on the seed, dangling mass re-enters through t, and vertices
+    outside the teleport set are reachable only via links."""
+    from pyspark.sql import functions as F
+
+    edges = {"a": ["b", "c"], "b": ["c"], "c": ["a"], "d": []}
+    graph = spark.createDataFrame(
+        [(s, ds) for s, ds in edges.items()],
+        "src string, dests array<string>",
+    )
+    tele = spark.createDataFrame([("a", 1.0)], "url string, weight double")
+    got = {
+        r["url"]: r["rank"]
+        for r in pr.pagerank(graph, teleport=tele, eps=1e-10, max_iter=200).collect()
+    }
+
+    nodes = sorted(edges)
+    d = pr.DAMPING
+    t = {v: (1.0 if v == "a" else 0.0) for v in nodes}
+    rank = dict(t)  # start vector = teleport
+    for _ in range(200):
+        inbound = {v: 0.0 for v in nodes}
+        dangling = 0.0
+        for v in nodes:
+            dests = set(edges[v])
+            if not dests:
+                dangling += rank[v]
+                continue
+            share = rank[v] / len(dests)
+            for x in dests:
+                if x in inbound:
+                    inbound[x] += share
+        new = {
+            v: ((1 - d) + d * dangling) * t[v] + d * inbound[v] for v in nodes
+        }
+        residual = max(abs(new[v] - rank[v]) for v in nodes)
+        rank = new
+        if residual < 1e-10:
+            break
+
+    for v in nodes:
+        assert got[v] == pytest.approx(rank[v], abs=1e-9)
+    # seed holds the most rank; the unlinked dangling node has none
+    assert got["a"] == max(got.values()) and got["d"] == 0.0
