@@ -38,7 +38,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .javaport.tokenize import STOP_WORDS
-from .operators import curate, dedup, similarity, textops
+from .operators import budget, curate, dedup, similarity, textops
 
 __all__ = ["queries", "oracle_sql", "QUERIES"]
 
@@ -2519,6 +2519,75 @@ SELECT url, round(rank, 8) AS rank FROM p{PAGERANK_Q_ITERS}
 
 SQL_PAGERANK_PERSONAL = _sql_pagerank_personal()
 
+HOST_BUDGET_TOTAL = 10_000
+HOST_BUDGET_MIN = 10
+HOST_BUDGET_MAX_FRAC = 0.2
+
+
+def q_host_budget(spark, sf_dir):
+    """crawl-budget steering (operators/budget.py): compose the existing
+    per-doc quality scorer and exact-dedup flag, collapse to per-host
+    stats, and allocate the next wave's fetch quota by quality-weighted,
+    duplication-discounted, log-damped share — the content→frontier
+    feedback loop. Integerized weight mass keeps shares bit-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    q = textops.quality_score(docs).select("doc_id", "quality")
+    dd = dedup.exact_dedup(docs).select("doc_id", "is_dup")
+    scored = (
+        docs.select("doc_id", "source").join(q, "doc_id").join(dd, "doc_id")
+    )
+    return budget.host_crawl_budget(
+        scored,
+        total_budget=HOST_BUDGET_TOTAL,
+        host_col="source",
+        min_pages=HOST_BUDGET_MIN,
+        max_frac=HOST_BUDGET_MAX_FRAC,
+    )
+
+
+SQL_HOST_BUDGET = f"""
+WITH base AS (
+  SELECT doc_id, source, trim(text) AS t,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+    round(0.4 * (length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) * 1.0 / greatest(length(t), 1))
+        + 0.3 * (len(list_intersect(list_distinct(toks), [{_sql_quote_list(textops.QUALITY_STOPWORDS)}])) * 1.0
+                 / greatest(len(toks), 1))
+        + 0.3 * least(len(toks) / 100.0, 1.0), 6) AS quality,
+    doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+  FROM base
+),
+per_host AS (
+  SELECT source AS host, count(*) AS n_docs,
+         round(avg(quality), 6) AS q_mean,
+         round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS dup_rate
+  FROM scored GROUP BY 1
+),
+w AS (
+  SELECT host, n_docs, q_mean, dup_rate,
+         round(q_mean * (1.0 - dup_rate) * ln(1.0 + n_docs), 6) AS weight
+  FROM per_host
+),
+w6 AS (
+  SELECT *, CAST(round(weight * CAST(1000000 AS DOUBLE)) AS BIGINT) AS _w6 FROM w
+),
+ws AS (SELECT sum(_w6) AS _wsum FROM w6)
+SELECT host, n_docs, q_mean, dup_rate, weight,
+       CASE WHEN s._wsum <= 0 THEN {HOST_BUDGET_MIN}
+            ELSE least(
+              greatest(
+                CAST(floor(CAST({HOST_BUDGET_TOTAL} AS DOUBLE)
+                     * (CAST(_w6 AS DOUBLE) / CAST(s._wsum AS DOUBLE))) AS BIGINT),
+                {HOST_BUDGET_MIN}),
+              {int(HOST_BUDGET_MAX_FRAC * HOST_BUDGET_TOTAL)})
+       END AS budget
+FROM w6 CROSS JOIN ws s
+"""
+
 
 def q_media_features(spark, sf_dir):
     """multimodal plumbing: binary payloads → mapInPandas fake decode →
@@ -2585,6 +2654,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     # -- new this round (round 5)
     "q_pagerank_delta": (q_pagerank_delta, SQL_PAGERANK_DELTA),
     "q_pagerank_personal": (q_pagerank_personal, SQL_PAGERANK_PERSONAL),
+    "q_host_budget": (q_host_budget, SQL_HOST_BUDGET),
     # -- never driver-checked (r4 verdict "What's missing" #1)
     "q_curate": (q_curate, SQL_CURATE),
     "q_dup_spans": (q_dup_spans, SQL_DUP_SPANS),
