@@ -2519,6 +2519,85 @@ SELECT url, round(rank, 8) AS rank FROM p{PAGERANK_Q_ITERS}
 
 SQL_PAGERANK_PERSONAL = _sql_pagerank_personal()
 
+HITS_Q_ITERS = 4
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (plans/hits.py) on the irregular doc
+    graph ((x²+1)%n concentrates in-links, so hub and authority
+    profiles are non-trivial and distinct). Fixed iterations (eps=0),
+    per-iteration MAX normalization — exact and order-independent, so
+    the unrolled CTE oracle matches where an L2 norm would flap."""
+    from .plans.hits import hits
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    graph = docs.select(
+        F.col("doc_id").cast("string").alias("src"),
+        F.array(
+            ((F.col("doc_id") * F.col("doc_id") + 1) % n).cast("string"),
+            ((F.col("doc_id") * 3 + 2) % n).cast("string"),
+        ).alias("dests"),
+    )
+    out = hits(graph, max_iter=HITS_Q_ITERS, eps=0.0)
+    return out.select(
+        "url",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _sql_hits() -> str:
+    """Unrolled HITS CTE: a_k = maxnorm(gather h_{k-1} into dst),
+    h_k = maxnorm(gather a_k into src). The doc graph's dests all fall
+    inside the vertex set, so no gather-side restriction is needed."""
+    steps = []
+    for k in range(1, HITS_Q_ITERS + 1):
+        steps.append(f"""ra{k} AS (
+  SELECT e.dst AS url, sum(h.s) AS g
+  FROM edges e JOIN h{k - 1} h ON h.url = e.src GROUP BY e.dst
+),
+ma{k} AS (SELECT max(g) AS m FROM ra{k}),
+a{k} AS (
+  SELECT v.url, coalesce(r.g, CAST(0 AS DOUBLE)) / x.m AS s
+  FROM vertices v CROSS JOIN ma{k} x LEFT JOIN ra{k} r ON v.url = r.url
+),
+rh{k} AS (
+  SELECT e.src AS url, sum(a.s) AS g
+  FROM edges e JOIN a{k} a ON a.url = e.dst GROUP BY e.src
+),
+mh{k} AS (SELECT max(g) AS m FROM rh{k}),
+h{k} AS (
+  SELECT v.url, coalesce(r.g, CAST(0 AS DOUBLE)) / x.m AS s
+  FROM vertices v CROSS JOIN mh{k} x LEFT JOIN rh{k} r ON v.url = r.url
+)""")
+    chain = ",\n".join(steps)
+    return f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+g AS (
+  SELECT CAST(doc_id AS VARCHAR) AS src,
+         CAST((doc_id * doc_id + 1) % (SELECT n FROM nn) AS VARCHAR) AS d1,
+         CAST((doc_id * 3 + 2) % (SELECT n FROM nn) AS VARCHAR) AS d2
+  FROM documents
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, d1 AS dst FROM g UNION ALL SELECT src, d2 AS dst FROM g
+  )
+),
+vertices AS (SELECT DISTINCT src AS url FROM g),
+h0 AS (SELECT url, CAST(1 AS DOUBLE) AS s FROM vertices),
+a0 AS (SELECT url, CAST(1 AS DOUBLE) AS s FROM vertices),
+{chain}
+SELECT v.url, round(h.s, 6) AS hub, round(a.s, 6) AS authority
+FROM vertices v
+JOIN h{HITS_Q_ITERS} h ON v.url = h.url
+JOIN a{HITS_Q_ITERS} a ON v.url = a.url
+"""
+
+
+SQL_HITS = _sql_hits()
+
 HOST_BUDGET_TOTAL = 10_000
 HOST_BUDGET_MIN = 10
 HOST_BUDGET_MAX_FRAC = 0.2
@@ -2655,6 +2734,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_pagerank_delta": (q_pagerank_delta, SQL_PAGERANK_DELTA),
     "q_pagerank_personal": (q_pagerank_personal, SQL_PAGERANK_PERSONAL),
     "q_host_budget": (q_host_budget, SQL_HOST_BUDGET),
+    "q_hits": (q_hits, SQL_HITS),
     # -- never driver-checked (r4 verdict "What's missing" #1)
     "q_curate": (q_curate, SQL_CURATE),
     "q_dup_spans": (q_dup_spans, SQL_DUP_SPANS),
