@@ -390,3 +390,128 @@ def winnow_fp_rows(
     return sel.select(
         F.col(id_col), F.substring("_sel", 1, 12).alias("fp")
     ).distinct()
+
+
+def remove_dup_spans(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (doc_id, cleaned, n_spans, chars_removed, n_kept): cut
+    cross-document duplicated character spans OUT of each document —
+    the exact-substring dedup transform (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better") built on the winnowing
+    fingerprints, completing stats-only ``dup_spans``/``winnow`` into an
+    actual curation rewrite.
+
+    Semantics: a fingerprint selected in ≥2 documents marks its k-char
+    gram as duplicated everywhere EXCEPT the owner (min doc_id) — the
+    keep-first convention every dedup path here uses. Per doc, marked
+    [pos, pos+k-1] spans merge into islands (gap-and-island windows),
+    and the kept gaps concatenate in position order. Surgery operates on
+    the winnow-normalized text (lowercased, whitespace-collapsed, capped
+    at WINNOW_MAX_CHARS) — the form a training pipeline tokenizes.
+
+    Scale shape: one O(chars) explode bounded per doc, ONE doc-keyed
+    exchange reused by the rolling-min, island, and concat windows, and
+    a linear fp-stats join (each fingerprint row meets exactly one stats
+    row — no pairwise fan-out, unlike the pairs path, so no df cap is
+    needed). Everything is JVM expressions; piece order is forced by
+    array_sort on (start, piece) structs, not collect order.
+    """
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PATTERN, " "),
+        1,
+        WINNOW_MAX_CHARS,
+    )
+    spine = df.select(
+        F.col(id_col), norm.alias("_t"), F.length(norm).alias("_len")
+    )
+    sel = _winnow_sel(df, text_col, id_col)
+    fpd = sel.select(
+        F.col(id_col),
+        F.substring("_sel", 1, 12).alias("fp"),
+        F.substring("_sel", 13, 6).cast("int").alias("pos"),
+    ).distinct()
+    st = fpd.groupBy("fp").agg(
+        F.count_distinct(F.col(id_col)).alias("nd"),
+        F.min(id_col).alias("owner"),
+    )
+    spans = (
+        fpd.join(st, "fp")
+        .where((F.col("nd") >= 2) & (F.col(id_col) != F.col("owner")))
+        .select(
+            id_col,
+            F.col("pos").alias("s"),
+            (F.col("pos") + WINNOW_K - 1).alias("e"),
+        )
+    )
+    w_ord = Window.partitionBy(id_col).orderBy("s", "e")
+    prev_e = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = spans.select(
+        id_col,
+        "s",
+        "e",
+        F.when(prev_e.isNull() | (F.col("s") > prev_e + 1), 1)
+        .otherwise(0)
+        .alias("_ni"),
+    )
+    islands = (
+        marked.withColumn(
+            "_isl",
+            F.sum("_ni").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy(id_col, "_isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    isl_stats = islands.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("chars_removed"),
+        F.max("e").alias("_max_e"),
+    )
+    w_isl = Window.partitionBy(id_col).orderBy("s")
+    mid_head_gaps = islands.select(
+        id_col,
+        F.coalesce(F.lag("e").over(w_isl) + 1, F.lit(1)).alias("gs"),
+        (F.col("s") - 1).alias("ge"),
+    )
+    tail_gaps = isl_stats.join(spine, id_col).select(
+        id_col, (F.col("_max_e") + 1).alias("gs"), F.col("_len").alias("ge")
+    )
+    pieces = (
+        mid_head_gaps.unionByName(tail_gaps)
+        .where(F.col("ge") >= F.col("gs"))
+        .join(spine, id_col)
+        .select(
+            id_col,
+            "gs",
+            F.expr("substring(_t, gs, ge - gs + 1)").alias("piece"),
+        )
+    )
+    stitched = pieces.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("gs", "piece"))),
+                lambda x: x["piece"],
+            ),
+            "",
+        ).alias("_stitched")
+    )
+    return (
+        spine.join(isl_stats, id_col, "left")
+        .join(stitched, id_col, "left")
+        .select(
+            id_col,
+            F.when(
+                F.col("n_spans").isNotNull(),
+                F.coalesce(F.col("_stitched"), F.lit("")),
+            )
+            .otherwise(F.col("_t"))
+            .alias("cleaned"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("chars_removed"), F.lit(0)).alias(
+                "chars_removed"
+            ),
+        )
+        .withColumn("n_kept", F.length("cleaned"))
+    )

@@ -482,6 +482,91 @@ FROM pairs WHERE round(inter / (na + nb - inter), 6) >= 0.2
 """
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """exact-substring dedup REWRITE (Lee et al. 2021): cut cross-doc
+    duplicated character spans out of each non-owner document — the
+    curation transform that stats-only q_dup_spans/q_winnow feed. All
+    JVM: winnow selection, fp-stats linear join (no pair fan-out),
+    gap-and-island merge, order-forced piece concat."""
+    from .operators.textops import remove_dup_spans
+
+    return remove_dup_spans(_t(spark, sf_dir, "documents"))
+
+
+SQL_DUP_SPAN_REMOVAL = """
+WITH b AS (
+  SELECT doc_id,
+         substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 1000) AS t
+  FROM documents
+), bl AS (
+  SELECT doc_id, t, length(t) AS len FROM b
+), base AS (
+  SELECT doc_id, t, CAST(length(t) - 7 AS INT) AS n FROM b
+  WHERE length(t) - 7 >= 4
+), g AS (
+  SELECT doc_id, CAST(i AS INT) AS p,
+         substr(md5(substr(t, i, 8)), 1, 12)
+           || lpad(CAST(i AS VARCHAR), 6, '0') AS e
+  FROM base, unnest(generate_series(1, n)) s(i)
+), sel AS (
+  SELECT doc_id, p,
+         min(e) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS selfp
+  FROM g
+), fpd AS (
+  SELECT DISTINCT doc_id, substr(selfp, 1, 12) AS fp,
+         CAST(substr(selfp, 13, 6) AS INT) AS pos
+  FROM sel WHERE p >= 4
+), st AS (
+  SELECT fp, count(DISTINCT doc_id) AS nd, min(doc_id) AS owner
+  FROM fpd GROUP BY fp
+), spans AS (
+  SELECT doc_id, pos AS s, pos + 7 AS e
+  FROM fpd JOIN st USING (fp) WHERE nd >= 2 AND doc_id <> owner
+), mk AS (
+  SELECT doc_id, s, e,
+         CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM spans
+  WINDOW w AS (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl0 AS (
+  SELECT doc_id, s, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM mk
+), isla AS (
+  SELECT doc_id, isl, min(s) AS s, max(e) AS e FROM isl0 GROUP BY doc_id, isl
+), ist AS (
+  SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS chars_removed,
+         max(e) AS max_e
+  FROM isla GROUP BY doc_id
+), gaps AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s) + 1, 1) AS gs,
+         s - 1 AS ge
+  FROM isla
+  UNION ALL
+  SELECT i.doc_id, i.max_e + 1 AS gs, l.len AS ge
+  FROM ist i JOIN bl l USING (doc_id)
+), pieces AS (
+  SELECT gp.doc_id, gs, substr(l.t, gs, ge - gs + 1) AS piece
+  FROM gaps gp JOIN bl l USING (doc_id) WHERE ge >= gs
+), stitched AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY gs) AS cleaned
+  FROM pieces GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CASE WHEN i.n_spans IS NOT NULL THEN coalesce(s.cleaned, '')
+            ELSE l.t END AS cleaned,
+       coalesce(i.n_spans, 0) AS n_spans,
+       CAST(coalesce(i.chars_removed, 0) AS BIGINT) AS chars_removed,
+       length(CASE WHEN i.n_spans IS NOT NULL THEN coalesce(s.cleaned, '')
+                   ELSE l.t END) AS n_kept
+FROM bl l LEFT JOIN ist i USING (doc_id) LEFT JOIN stitched s USING (doc_id)
+"""
+
+
 def q_cms_frequency(spark, sf_dir):
     """Count-min frequency sketch: per-user event-count estimates from a
     d=3 × w=1024 sketch (Cormode & Muthukrishnan 2005). The sketch is
@@ -2735,6 +2820,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_pagerank_personal": (q_pagerank_personal, SQL_PAGERANK_PERSONAL),
     "q_host_budget": (q_host_budget, SQL_HOST_BUDGET),
     "q_hits": (q_hits, SQL_HITS),
+    "q_dup_span_removal": (q_dup_span_removal, SQL_DUP_SPAN_REMOVAL),
     # -- never driver-checked (r4 verdict "What's missing" #1)
     "q_curate": (q_curate, SQL_CURATE),
     "q_dup_spans": (q_dup_spans, SQL_DUP_SPANS),

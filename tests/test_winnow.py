@@ -131,3 +131,63 @@ def test_winnow_pairs_position_invariant(spark):
     got = winnow_overlap_pairs(df, min_jaccard=0.1).collect()
     assert len(got) == 1 and got[0]["doc_a"] == "x" and got[0]["doc_b"] == "y"
     assert 0 < got[0]["jaccard"] <= 1
+
+
+def test_remove_dup_spans_semantics(spark):
+    """Span-removal rewrite: the owner (min doc_id) keeps its text, the
+    copier's shared region is excised, disjoint docs and too-short docs
+    pass through unchanged, and stats are consistent with the rewrite."""
+    from pyspark.sql import functions as F
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.textops import (
+        remove_dup_spans,
+    )
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma " + shared + " delta epsilon zeta"),
+            (1, "one two three " + shared + " four five six"),
+            (2, "completely unrelated text about engines"),
+            (3, "tiny"),  # below the winnow minimum: untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_dup_spans(docs).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # owner keeps everything
+    assert out[0]["n_spans"] == 0 and shared in out[0]["cleaned"]
+    # copier: the shared region is (mostly) gone — winnowing guarantees a
+    # fingerprint inside any match of length >= w+k-1, so the bulk of the
+    # 59-char span is excised; edges may survive at gram granularity
+    assert out[1]["n_spans"] >= 1
+    assert out[1]["chars_removed"] > len(shared) - 16
+    assert "quick brown fox" not in out[1]["cleaned"]
+    assert out[1]["cleaned"].startswith("one two three")
+    assert out[1]["cleaned"].endswith("four five six")
+    # stats reconcile: kept + removed == normalized length
+    norm1 = " ".join(("one two three " + shared + " four five six").split())
+    assert out[1]["n_kept"] + out[1]["chars_removed"] == len(norm1)
+    # untouched docs
+    assert out[2]["cleaned"] == "completely unrelated text about engines"
+    assert out[3]["cleaned"] == "tiny" and out[3]["n_spans"] == 0
+
+
+def test_remove_dup_spans_identical_copies_empty_non_owner(spark):
+    """Three identical documents: the owner survives intact, every other
+    copy is cut to (near) nothing — the keep-first whole-doc limit case."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.textops import (
+        remove_dup_spans,
+    )
+
+    body = " ".join(f"token{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(i, body) for i in range(3)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in remove_dup_spans(docs).collect()}
+    assert out[0]["cleaned"] == body and out[0]["chars_removed"] == 0
+    for i in (1, 2):
+        # everything from the first selected gram onward is removed;
+        # only the pre-first-window prefix can survive
+        assert out[i]["n_kept"] < 16
+        assert out[i]["chars_removed"] > len(body) - 16
