@@ -251,3 +251,14 @@ def test_group_quantiles_preagg_aggregates_before_window(spark, sf_dir):
     assert sum(a > max(win) for a in agg) >= 2, tree
     assert any(a < min(win) for a in agg), tree
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dup_span_removal_all_jvm_no_pair_fanout(spark, sf_dir):
+    """Span-removal rewrite: zero Python eval nodes, no nested-loop /
+    cartesian shape anywhere (the fp-stats join is a LINEAR equi-join —
+    each fingerprint row meets exactly one stats row), and every join in
+    the stitch phase is keyed (hash or sort-merge, never broadcast-NL)."""
+    plan = plan_of(Q.QUERIES["q_dup_span_removal"][0](spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
