@@ -138,10 +138,19 @@ class SparkCrawler:
         frontier_partitions: int = 32,
         checkpoint_interval: int = 1,
         expected_urls: int | None = None,
+        host_budgets: DataFrame | None = None,
     ):
         self.spark = spark
         self.cat = catalog
         self.cfg = config or CrawlConfig()
+        # opt-in quality steering (operators/budget.py): a (host, budget)
+        # frame overrides the global max_pages_per_host cap per host —
+        # hosts absent from it keep the global cap. None (the default)
+        # preserves reference-trace behavior exactly. Refresh between
+        # waves via set_host_budgets (the content→frontier feedback loop).
+        self._host_budgets: DataFrame | None = None
+        if host_budgets is not None:
+            self.set_host_budgets(host_budgets)
         self.responses = responses_df
         self.robots = robots_df
         # capacity planning: pre-size the Bloom shards for the expected
@@ -346,6 +355,30 @@ class SparkCrawler:
         )
         self._hosts_commits_since_compact += 1
 
+    def set_host_budgets(self, budgets: DataFrame | None) -> None:
+        """Install (or clear, with None) a per-host page-budget frame
+        (host, budget) that overrides ``cfg.max_pages_per_host`` per
+        host — the apply side of the quality→frontier feedback loop
+        (``operators.budget.host_crawl_budget`` produces the frame from
+        the previous interval's crawled content). Hosts absent from the
+        frame keep the global cap; budgets take effect from the next
+        ``step()``. The frame is persisted: both cap sites join it every
+        wave on the host key the schedule already shuffles on."""
+        if self._host_budgets is not None:
+            try:
+                self._host_budgets.unpersist()
+            except Exception:
+                pass
+        if budgets is None:
+            self._host_budgets = None
+            return
+        self._host_budgets = (
+            budgets.select(
+                "host", F.col("budget").cast(IntegerType()).alias("_budget")
+            )
+            .persist()
+        )
+
     def _read_hosts(self) -> DataFrame:
         """Latest-wins resolution of the hosts base + delta rows."""
         df = self.cat.read(self.spark, "hosts")
@@ -495,7 +528,17 @@ class SparkCrawler:
         f = frontier.join(
             hosts.select("host", "crawl_delay", "last_access", "fetched_count"), "host"
         )
-        capped_cond = F.col("fetched_count") >= cfg.max_pages_per_host
+        if self._host_budgets is not None:
+            # per-host budget override (quality steering). Joined on the
+            # host key the classify window shuffles on anyway; hosts not
+            # in the budget frame keep the global cap.
+            f = f.join(self._host_budgets, "host", "left")
+            cap_col = F.coalesce(
+                F.col("_budget"), F.lit(cfg.max_pages_per_host)
+            )
+        else:
+            cap_col = F.lit(cfg.max_pages_per_host)
+        capped_cond = F.col("fetched_count") >= cap_col
         eligible_cond = F.col("last_access").isNull() | (
             F.lit(t) - F.col("last_access") >= F.col("crawl_delay")
         )
@@ -678,9 +721,21 @@ class SparkCrawler:
         # (5c) enqueue filter: this wave's terminals (not in the Bloom
         # bitmaps yet) via tiny broadcast anti-join; all prior waves via
         # Bloom pre-pass + exact anti-join; cap via end-of-wave counts.
-        over_cap = hosts_updated.where(
-            F.col("fetched_count") >= cfg.max_pages_per_host
-        ).select("host")
+        if self._host_budgets is not None:
+            over_cap = (
+                hosts_updated.join(self._host_budgets, "host", "left")
+                .where(
+                    F.col("fetched_count")
+                    >= F.coalesce(
+                        F.col("_budget"), F.lit(cfg.max_pages_per_host)
+                    )
+                )
+                .select("host")
+            )
+        else:
+            over_cap = hosts_updated.where(
+                F.col("fetched_count") >= cfg.max_pages_per_host
+            ).select("host")
         fresh = fresh.join(F.broadcast(over_cap), "host", "left_anti")
         fresh = fresh.join(F.broadcast(seen_add.select("url_hash")), "url_hash", "left_anti")
         # No materialization needed before the probe: outlinks were

@@ -193,3 +193,61 @@ def test_resume_from_checkpoint(spark, web, tmp_path_factory, spark_crawler):
     a = {r["url_hash"] for r in resumed.cat.read(spark, "seen").collect()}
     b = {r["url_hash"] for r in spark_crawler.cat.read(spark, "seen").collect()}
     assert a == b
+
+
+def test_host_budget_override_caps_per_host(spark, web, tmp_path_factory):
+    """Quality-steering hook (operators/budget.py apply side): a
+    per-host budget frame overrides the global max_pages_per_host for
+    the hosts it names — budgeted hosts stop early, unnamed hosts keep
+    the global cap, and with budgets == global cap for every host the
+    trace is IDENTICAL to the unsteered crawl (the default-off hook
+    cannot perturb reference-trace behavior)."""
+    _, responses, robots = web
+
+    def mk(tmp, budgets):
+        cat = Catalog(str(tmp))
+        c = SparkCrawler(
+            spark,
+            cat,
+            spark.createDataFrame(responses),
+            spark.createDataFrame(robots),
+            CFG,
+            n_bloom_shards=4,
+            host_budgets=budgets,
+        )
+        c.init_from_seeds(webgen.seed_urls(SEED, N_HOSTS, PAGES_BASE, N_SEEDS))
+        c.run()
+        return c
+
+    # pick two hosts that fetch the full 5 pages in the unsteered run
+    base = mk(tmp_path_factory.mktemp("bud-base"), None)
+    per_host = {}
+    for w, url, d, oc in _spark_trace(base):
+        if oc == "fetched":
+            h = url.split("/")[2]
+            per_host[h] = per_host.get(h, 0) + 1
+    full = sorted(h for h, n in per_host.items() if n == CFG.max_pages_per_host)
+    assert len(full) >= 2, per_host
+    h_cut = full[0]
+
+    budgets = spark.createDataFrame(
+        [(h_cut, 2)], "host string, budget int"
+    )
+    steered = mk(tmp_path_factory.mktemp("bud-steer"), budgets)
+    got = {}
+    for w, url, d, oc in _spark_trace(steered):
+        if oc == "fetched":
+            h = url.split("/")[2]
+            got[h] = got.get(h, 0) + 1
+    assert got[h_cut] == 2
+    # an unbudgeted host still reaches the global cap
+    assert any(got.get(h, 0) == CFG.max_pages_per_host for h in full[1:])
+
+    # budgets equal to the global cap everywhere == no steering at all
+    hosts_all = sorted({r["host"] for _, r in robots.iterrows()})
+    neutral = spark.createDataFrame(
+        [(h, CFG.max_pages_per_host) for h in hosts_all],
+        "host string, budget int",
+    )
+    same = mk(tmp_path_factory.mktemp("bud-neutral"), neutral)
+    assert _spark_trace(same) == _spark_trace(base)
