@@ -360,8 +360,10 @@ class SparkCrawler:
         (host, budget) that overrides ``cfg.max_pages_per_host`` per
         host — the apply side of the quality→frontier feedback loop
         (``operators.budget.host_crawl_budget`` produces the frame from
-        the previous interval's crawled content). Hosts absent from the
-        frame keep the global cap; budgets take effect from the next
+        the previous interval's crawled content). ``host`` must be the
+        POLITENESS KEY (``host:port``, ``functions.exprs.host_key_col``)
+        — the same key the hosts/frontier tables use. Hosts absent from
+        the frame keep the global cap; budgets take effect from the next
         ``step()``. The frame is persisted: both cap sites join it every
         wave on the host key the schedule already shuffles on."""
         if self._host_budgets is not None:

@@ -219,12 +219,20 @@ def test_host_budget_override_caps_per_host(spark, web, tmp_path_factory):
         c.run()
         return c
 
-    # pick two hosts that fetch the full 5 pages in the unsteered run
+    # pick two hosts that fetch the full 5 pages in the unsteered run.
+    # budgets are keyed by the POLITENESS key (host:port,
+    # functions.exprs.host_key_col) — derived from each trace URL.
+    def key_of(url):
+        netloc = url.split("/")[2]
+        if ":" in netloc:
+            return netloc
+        return netloc + (":443" if url.startswith("https") else ":80")
+
     base = mk(tmp_path_factory.mktemp("bud-base"), None)
     per_host = {}
     for w, url, d, oc in _spark_trace(base):
         if oc == "fetched":
-            h = url.split("/")[2]
+            h = key_of(url)
             per_host[h] = per_host.get(h, 0) + 1
     full = sorted(h for h, n in per_host.items() if n == CFG.max_pages_per_host)
     assert len(full) >= 2, per_host
@@ -237,14 +245,17 @@ def test_host_budget_override_caps_per_host(spark, web, tmp_path_factory):
     got = {}
     for w, url, d, oc in _spark_trace(steered):
         if oc == "fetched":
-            h = url.split("/")[2]
+            h = key_of(url)
             got[h] = got.get(h, 0) + 1
     assert got[h_cut] == 2
     # an unbudgeted host still reaches the global cap
     assert any(got.get(h, 0) == CFG.max_pages_per_host for h in full[1:])
 
     # budgets equal to the global cap everywhere == no steering at all
-    hosts_all = sorted({r["host"] for _, r in robots.iterrows()})
+    hosts_all = sorted(
+        r["host"]
+        for r in base.cat.read(spark, "hosts").select("host").distinct().collect()
+    )
     neutral = spark.createDataFrame(
         [(h, CFG.max_pages_per_host) for h in hosts_all],
         "host string, budget int",
