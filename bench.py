@@ -141,6 +141,9 @@ HEADLINE = [
     "q_winnow_pairs",
     "q_group_quantiles_preagg",
     "q_pagerank_delta",
+    "q_hits",
+    "q_host_budget",
+    "q_dup_span_removal",
 ]
 
 
