@@ -322,3 +322,45 @@ def cms_sketch_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def budget_stats_stream(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    catalog,
+    host_col: str = "host",
+    quality_col: str = "quality",
+    dup_col: str = "is_dup",
+    schema: str | None = None,
+    table: str = "host_budget_stats",
+):
+    """Streaming half of the quality-steering loop: fold each
+    micro-batch of scored documents into the per-host additive state
+    (``operators.budget.host_stats`` — count, quality sum, dup count;
+    pure sums, so the fold equals the batch aggregate over the union of
+    every batch). The live scheduler turns the folded state into next-
+    wave quotas with ``budget_from_stats`` and applies them via
+    ``SparkCrawler.set_host_budgets`` — budgets that tighten as evidence
+    about a host accumulates, without ever re-reading past batches.
+    State is |hosts| rows regardless of stream length; same
+    fold-into-catalog shape as the sketch streams."""
+    from ..operators.budget import host_stats, merge_host_stats
+
+    reader = spark.readStream
+    if schema is not None:
+        reader = reader.schema(schema)
+    raw = reader.format("parquet").load(src_dir)
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        st = host_stats(batch_df, host_col, quality_col, dup_col)
+        if catalog.exists(table):
+            st = merge_host_stats(catalog.read(batch_df.sparkSession, table), st)
+        catalog.write(table, st, properties={"stream_batch": int(batch_id)})
+
+    return (
+        raw.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -436,3 +436,57 @@ def test_cms_sketch_stream_matches_batch_after_micro_batches(spark, tmp_path):
     assert streamed == batch_probe
     # CMS never undercounts; with d*w >> 5 keys the estimates are exact
     assert streamed["u-hot"] == 100 and streamed["u-absent"] == 0
+
+
+def test_budget_stats_stream_matches_batch_after_micro_batches(spark, tmp_path):
+    """Streaming quality steering: host-stats folded over 3 micro-batches
+    (restart in between) yield EXACTLY the budgets of the one-shot batch
+    path over the union. Qualities are dyadic rationals (0.25/0.5/0.75)
+    so floating-point sums are exact under any fold order and equality
+    is bitwise, not approximate."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog import Catalog
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.budget import (
+        budget_from_stats,
+        host_crawl_budget,
+    )
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.streaming.crawl_stream import (
+        budget_stats_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cat = Catalog(str(tmp_path / "cat"))
+    schema = "doc_id long, host string, quality double, is_dup boolean"
+
+    def rows(lo, n, host, q, dup_every):
+        return [
+            (lo + i, host, q, dup_every > 0 and i % dup_every == 0)
+            for i in range(n)
+        ]
+
+    b1 = rows(0, 30, "a:443", 0.75, 0) + rows(100, 10, "b:443", 0.5, 2)
+    b2 = rows(200, 25, "a:443", 0.25, 5) + rows(300, 4, "c:80", 0.5, 0)
+    b3 = rows(400, 12, "b:443", 0.75, 3)
+    spark.createDataFrame(b1, schema).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, schema).write.mode("append").parquet(src)
+    budget_stats_stream(
+        spark, src, ckpt, cat, schema=schema
+    ).awaitTermination(120)
+    spark.createDataFrame(b3, schema).write.mode("append").parquet(src)
+    budget_stats_stream(
+        spark, src, ckpt, cat, schema=schema
+    ).awaitTermination(120)
+
+    folded = cat.read(spark, "host_budget_stats")
+    assert folded.count() == 3  # |hosts| rows, not |docs| or |batches|
+    streamed = {
+        r["host"]: (r["q_mean"], r["dup_rate"], r["budget"])
+        for r in budget_from_stats(folded, total_budget=1000).collect()
+    }
+    batch = {
+        r["host"]: (r["q_mean"], r["dup_rate"], r["budget"])
+        for r in host_crawl_budget(
+            spark.createDataFrame(b1 + b2 + b3, schema), total_budget=1000
+        ).collect()
+    }
+    assert streamed == batch and set(streamed) == {"a:443", "b:443", "c:80"}
