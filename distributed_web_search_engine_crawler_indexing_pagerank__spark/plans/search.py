@@ -243,3 +243,89 @@ def bm25_scores(
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * tf_norm), 6).alias("bm25"))
     )
+
+
+# --- positional postings + phrase search (beyond-reference) ---------------
+# The reference's index stores url lists only (Indexer.java:252-263), so
+# its frontend can answer AND queries but not "as a phrase". Positions
+# make the index order-aware: one extra array column per posting, and a
+# phrase probe becomes pure array algebra — no re-reading documents.
+
+
+def positional_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (word, doc_id, positions array<int>, tf): the positional
+    posting table over whitespace-normalized lowercase tokens. One
+    explode + one (doc, word) aggregation; positions are sorted so
+    downstream array algebra is deterministic. At index scale this is
+    the same plan as the df-capped index build (I4) with one extra
+    int-array payload column."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    return (
+        docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "word"))
+        .where(F.col("word") != "")
+        .groupBy(id_col, "word")
+        .agg(
+            F.sort_array(F.collect_list(F.col("pos") + 1)).alias("positions"),
+            F.count(F.lit(1)).alias("tf"),
+        )
+        .select("word", id_col, "positions", "tf")
+    )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, n_matches, first_pos): documents containing the exact
+    token sequence ``phrase``, with occurrence count and the 1-based
+    position of the first occurrence.
+
+    Plan: postings are filtered to the phrase's words BEFORE the
+    positional aggregation (predicate on the exploded word — only the
+    k phrase words survive the shuffle), then a k-way equi-join on the
+    doc id brings the k position arrays together and one fold of
+    ``array_intersect(transform(acc, x → x+1), p_i)`` computes the
+    end-positions of full phrase matches — set algebra entirely in JVM
+    higher-order functions, no re-scan of text, no Python. Probe cost
+    scales with the phrase words' posting sizes, not the corpus."""
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("empty phrase")
+    post = positional_postings(
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+        ),
+        text_col,
+        id_col,
+    ).where(F.col("word").isin(words))
+    sides = []
+    for i, w in enumerate(words):
+        sides.append(
+            post.where(F.col("word") == w).select(
+                F.col(id_col), F.col("positions").alias(f"_p{i}")
+            )
+        )
+    joined = sides[0]
+    for i in range(1, len(words)):
+        joined = joined.join(sides[i], id_col)
+    acc = F.col("_p0")
+    for i in range(1, len(words)):
+        acc = F.array_intersect(
+            F.transform(acc, lambda x: x + 1), F.col(f"_p{i}")
+        )
+    k = len(words)
+    return (
+        joined.select(
+            id_col,
+            F.size(acc).alias("n_matches"),
+            (F.array_min(acc) - (k - 1)).alias("first_pos"),
+        )
+        .where(F.col("n_matches") > 0)
+    )
