@@ -144,6 +144,7 @@ HEADLINE = [
     "q_hits",
     "q_host_budget",
     "q_dup_span_removal",
+    "q_phrase_search",
 ]
 
 

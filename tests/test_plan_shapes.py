@@ -262,3 +262,19 @@ def test_dup_span_removal_all_jvm_no_pair_fanout(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phrase_search_filters_before_shuffle(spark, sf_dir):
+    """Phrase search: the phrase-word predicate sits BELOW the posting
+    aggregation's exchange (the shuffle carries only phrase-word rows,
+    not the whole exploded corpus), and the whole probe is JVM-side."""
+    df = Q.QUERIES["q_phrase_search"][0](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    gen_idx = [i for i, l in enumerate(lines) if "Generate posexplode" in l]
+    assert gen_idx, plan
+    for gi in gen_idx:
+        # the line directly above each explode must be the word filter
+        above = "\n".join(lines[max(0, gi - 2):gi])
+        assert "Filter" in above and "word" in above, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
