@@ -145,6 +145,7 @@ HEADLINE = [
     "q_host_budget",
     "q_dup_span_removal",
     "q_phrase_search",
+    "q_near_search",
 ]
 
 

@@ -329,3 +329,56 @@ def phrase_search(
         )
         .where(F.col("n_matches") > 0)
     )
+
+
+def near_search(
+    docs: DataFrame,
+    phrase: str,
+    slop: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (doc_id, n_matches, first_end): ORDERED PROXIMITY search — the
+    phrase's words must appear in order with each consecutive pair at
+    most ``slop + 1`` positions apart (``slop=0`` degenerates to the
+    exact :func:`phrase_search` adjacency). ``n_matches`` counts the
+    distinct feasible positions of the LAST word; ``first_end`` is the
+    earliest of them.
+
+    Same plan skeleton as phrase_search — postings filtered to the
+    query words below the aggregation exchange, k-way doc join — with
+    the adjacency fold generalized to a window feasibility fold:
+    ``acc_i = filter(p_i, q → exists(acc_{i-1}, p → p < q ≤ p+gap))``,
+    nested JVM higher-order functions (exists inside filter), still
+    zero Python and posting-bounded."""
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("empty phrase")
+    gap = slop + 1
+    post = positional_postings(docs, text_col, id_col).where(
+        F.col("word").isin(words)
+    )
+    sides = []
+    for i, w in enumerate(words):
+        sides.append(
+            post.where(F.col("word") == w).select(
+                F.col(id_col), F.col("positions").alias(f"_p{i}")
+            )
+        )
+    joined = sides[0]
+    for i in range(1, len(words)):
+        joined = joined.join(sides[i], id_col)
+    acc = F.col("_p0")
+    for i in range(1, len(words)):
+        prev = acc  # captured by the closure, which F.filter invokes
+        # eagerly THIS iteration (a second lambda param — even a default
+        # — would be read as filter's (element, index) binary form)
+        acc = F.filter(
+            F.col(f"_p{i}"),
+            lambda q: F.exists(prev, lambda p: (q > p) & (q <= p + F.lit(gap))),
+        )
+    return joined.select(
+        id_col,
+        F.size(acc).alias("n_matches"),
+        F.array_min(acc).alias("first_end"),
+    ).where(F.col("n_matches") > 0)

@@ -2660,6 +2660,65 @@ FROM hits WHERE len(acc) > 0
 
 SQL_PHRASE_SEARCH = _sql_phrase_search(PHRASE_Q)
 
+NEAR_Q = "fast value"
+NEAR_SLOP = 2
+
+
+def q_near_search(spark, sf_dir):
+    """ordered proximity search (plans/search.py::near_search): query
+    words in order, consecutive pair ≤ slop+1 positions apart — the
+    sloppy-phrase middle ground between AND and exact phrase. Window
+    feasibility fold with nested JVM higher-order functions (exists
+    inside filter), posting-bounded like the phrase probe."""
+    from .plans.search import near_search
+
+    return near_search(_t(spark, sf_dir, "documents"), NEAR_Q, slop=NEAR_SLOP)
+
+
+def _sql_near_search(phrase: str, slop: int) -> str:
+    words = phrase.lower().split()
+    k = len(words)
+    gap = slop + 1
+    wlist = ", ".join("'" + w + "'" for w in sorted(set(words)))
+    sides = ",\n".join(
+        f"p{i} AS (SELECT doc_id, p AS p{i} FROM pw WHERE word = '{w}')"
+        for i, w in enumerate(words)
+    )
+    joins = " ".join(f"JOIN p{i} USING (doc_id)" for i in range(1, k))
+    acc = "p0"
+    for i in range(1, k):
+        acc = (
+            f"list_filter(p{i}, q -> len(list_filter({acc}, "
+            f"p -> q > p AND q <= p + {gap})) > 0)"
+        )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS a
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, a[i] AS word, CAST(i AS INT) AS pos
+  FROM t, unnest(generate_series(1, len(a))) s(i)
+  WHERE a[i] <> ''
+),
+pw AS (
+  SELECT doc_id, word, list(pos ORDER BY pos) AS p
+  FROM pos WHERE word IN ({wlist}) GROUP BY doc_id, word
+),
+{sides},
+hits AS (
+  SELECT p0.doc_id, {acc} AS acc FROM p0 {joins}
+)
+SELECT doc_id, CAST(len(acc) AS INT) AS n_matches,
+       CAST(list_min(acc) AS INT) AS first_end
+FROM hits WHERE len(acc) > 0
+"""
+
+
+SQL_NEAR_SEARCH = _sql_near_search(NEAR_Q, NEAR_SLOP)
+
 HITS_Q_ITERS = 4
 
 
@@ -2878,6 +2937,7 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     "q_hits": (q_hits, SQL_HITS),
     "q_dup_span_removal": (q_dup_span_removal, SQL_DUP_SPAN_REMOVAL),
     "q_phrase_search": (q_phrase_search, SQL_PHRASE_SEARCH),
+    "q_near_search": (q_near_search, SQL_NEAR_SEARCH),
     # -- never driver-checked (r4 verdict "What's missing" #1)
     "q_curate": (q_curate, SQL_CURATE),
     "q_dup_spans": (q_dup_spans, SQL_DUP_SPANS),
