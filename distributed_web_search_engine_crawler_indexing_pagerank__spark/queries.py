@@ -467,7 +467,8 @@ WITH b AS (
 ), capped AS (
   SELECT doc_id, fp FROM (
     SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df_fp FROM fps
-  ) WHERE df_fp <= 1000
+  ) WHERE df_fp <= least(1000, greatest(100,
+      CAST(floor(0.05 * (SELECT count(*) FROM documents)) AS BIGINT)))
 ), sized AS (
   SELECT doc_id, fp, count(*) OVER (PARTITION BY doc_id) AS n_fp FROM capped
 ), pairs AS (
