@@ -24,7 +24,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["MEDIA_SCHEMA", "FEATURE_DIM", "media_from_documents", "extract_features", "decode_media"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "FEATURE_DIM",
+    "media_from_documents",
+    "extract_features",
+    "extract_features_fake_jvm",
+    "decode_media",
+]
 
 FEATURE_DIM = 8
 
@@ -88,3 +95,36 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             )
 
     return media.mapInPandas(fn, FEATURE_OUT_SCHEMA)
+
+
+def extract_features_fake_jvm(media: DataFrame) -> DataFrame:
+    """The FAKE (md5-derived) decode as pure JVM column expressions —
+    value-identical to ``extract_features(media, fake=True)`` (asserted
+    in tests) with zero Python boundary: feature[j] = big-endian uint32
+    j of md5(payload) ‖ md5(payload + '1'), / 2^32. uint32 values and
+    the /2^32 are exact in double, so ``conv(hex_slice, 16, 10)`` lands
+    on the same doubles NumPy produced.
+
+    A REAL codec can't run in the JVM — ``extract_features`` keeps the
+    mapInPandas shape production would use — but the fake path the
+    oracle checks has no business paying an Arrow round-trip per row
+    (guide §4.1: built-ins when they exist). Measured: the r5
+    mapInPandas form was the 2nd most expensive headline query; this is
+    one scan+project."""
+    h1 = F.md5(F.col("media"))
+    h2 = F.md5(F.concat(F.col("media"), F.lit(b"1")))
+    feats = [
+        (
+            F.conv(
+                F.substring(h1 if j < 4 else h2, (j % 4) * 8 + 1, 8), 16, 10
+            ).cast("long")
+            / F.lit(float(2**32))
+        )
+        for j in range(FEATURE_DIM)
+    ]
+    return media.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.array(*feats).alias("feature"),
+    )

@@ -320,26 +320,34 @@ def winnow_fingerprints(
     miss for partial overlap at character granularity.
 
     Deterministic (md5 grams; ties broken by position via lexicographic
-    min over hash||lpad(pos)), so exactly oracle-able. Scale: the
-    per-position explode is O(chars) rows — same class as dup-spans'
-    token explode — bounded by WINNOW_MAX_CHARS per doc and shuffled
-    once for the per-doc window."""
-    sel = _winnow_sel(df, text_col, id_col)
-    fps = sel.select(id_col, "_n", "_sel").distinct()
-    return fps.groupBy(id_col).agg(
-        F.max("_n").alias("n_grams"),
-        F.count(F.lit(1)).alias("n_fps"),
-        F.min("_sel").alias("fp_lo"),
-        F.max("_sel").alias("fp_hi"),
+    min over hash||lpad(pos)), so exactly oracle-able. Scale: the whole
+    summary is per-document array algebra over the bounded normalized
+    text (``_winnow_sel_arrays``) — ONE scan, ZERO exchanges (the r5
+    form exploded O(chars) rows and shuffled them for a per-doc rolling
+    window; the winnowing window never crosses documents, so the shuffle
+    was pure overhead)."""
+    base = _winnow_sel_arrays(df, text_col, id_col)
+    fps = F.array_distinct(F.col("_sels"))
+    return base.select(
+        F.col(id_col),
+        F.col("_n").cast("long").alias("n_grams"),
+        F.size(fps).cast("long").alias("n_fps"),
+        F.array_min(fps).alias("fp_lo"),
+        F.array_max(fps).alias("fp_hi"),
     )
 
 
-def _winnow_sel(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Shared winnowing core → (id, _n, _p, _sel) where ``_sel`` is the
-    window-selected hash||lpad(pos) entry at position ``_p``. One
-    O(chars) explode (bounded by WINNOW_MAX_CHARS), ONE exchange on the
-    doc id that the rolling-min window and every downstream per-doc agg
-    reuse."""
+def _winnow_sel_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Shared winnowing core → (id, _t, _n, _sels: array<string>) where
+    ``_sels[i]`` is the window-selected hash||lpad(pos) entry at position
+    ``p = W + i`` (the same values the r5 explode+window form produced,
+    row-for-row). The rolling min over the w-gram window is computed with
+    array higher-order functions INSIDE each row — no explode, no
+    exchange, no per-doc sort: ``min(e[p-w+1..p]) = array_min(slice(...))``
+    over the per-position gram-hash array, which is bounded by
+    WINNOW_MAX_CHARS. Downstream per-doc summaries stay map-side;
+    cross-doc consumers explode only the selected (~2/(w+1) density)
+    fingerprints."""
     norm = F.substring(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PATTERN, " "),
         1,
@@ -350,30 +358,22 @@ def _winnow_sel(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         norm.alias("_t"),
         (F.length(norm) - (WINNOW_K - 1)).alias("_n"),
     ).where(F.col("_n") >= WINNOW_W)
-    grams = base.select(
-        id_col,
-        "_n",
-        F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_p"),
-        F.col("_t"),
-    ).select(
-        id_col,
-        "_n",
-        "_p",
-        F.concat(
-            F.substring(
-                F.md5(F.expr(f"substring(_t, _p, {WINNOW_K})")), 1, 12
-            ),
-            F.lpad(F.col("_p").cast("string"), 6, "0"),
-        ).alias("_e"),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("_n")),
+        lambda p: F.concat(
+            F.substring(F.md5(F.substring(F.col("_t"), p, F.lit(WINNOW_K))), 1, 12),
+            F.lpad(p.cast("string"), 6, "0"),
+        ),
     )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("_p")
-        .rowsBetween(-(WINNOW_W - 1), 0)
+    sels = F.transform(
+        F.sequence(F.lit(WINNOW_W), F.col("_n")),
+        lambda p: F.array_min(F.slice(F.col("_g"), p - (WINNOW_W - 1), WINNOW_W)),
     )
-    return grams.select(
-        id_col, "_n", "_p", F.min("_e").over(w).alias("_sel")
-    ).where(F.col("_p") >= WINNOW_W)
+    return (
+        base.withColumn("_g", grams)
+        .withColumn("_sels", sels)
+        .select(id_col, "_t", "_n", "_sels")
+    )
 
 
 def winnow_fp_rows(
@@ -385,11 +385,14 @@ def winnow_fp_rows(
     doc-vs-doc overlap the position must come off, since the shared
     substring sits at different offsets in each document (Schleimer et
     al. 2003 §2: the fingerprint is the gram hash, positions travel as
-    metadata)."""
-    sel = _winnow_sel(df, text_col, id_col)
-    return sel.select(
-        F.col(id_col), F.substring("_sel", 1, 12).alias("fp")
-    ).distinct()
+    metadata). Per-doc dedup happens INSIDE the row (array_distinct) so
+    only the ~2/(w+1)-density selected fingerprints are ever exploded —
+    no corpus-wide distinct shuffle."""
+    base = _winnow_sel_arrays(df, text_col, id_col)
+    fps = F.array_distinct(
+        F.transform(F.col("_sels"), lambda s: F.substring(s, 1, 12))
+    )
+    return base.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 def remove_dup_spans(
@@ -425,12 +428,18 @@ def remove_dup_spans(
     spine = df.select(
         F.col(id_col), norm.alias("_t"), F.length(norm).alias("_len")
     )
-    sel = _winnow_sel(df, text_col, id_col)
-    fpd = sel.select(
+    # per-doc dedup inside the row (array_distinct over the selected
+    # entries), then explode only the ~2/(w+1)-density fingerprints —
+    # no O(chars) explode, no corpus-wide distinct shuffle (the r5 form
+    # shuffled every gram position for the rolling window; see
+    # _winnow_sel_arrays).
+    fpd = _winnow_sel_arrays(df, text_col, id_col).select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("_sels"))).alias("_sel")
+    ).select(
         F.col(id_col),
         F.substring("_sel", 1, 12).alias("fp"),
         F.substring("_sel", 13, 6).cast("int").alias("pos"),
-    ).distinct()
+    )
     st = fpd.groupBy("fp").agg(
         F.count_distinct(F.col(id_col)).alias("nd"),
         F.min(id_col).alias("owner"),

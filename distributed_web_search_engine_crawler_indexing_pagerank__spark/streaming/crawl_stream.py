@@ -26,7 +26,29 @@ __all__ = [
     "trace_window_stream",
     "host_counter_stream",
     "hll_sketch_stream",
+    "kmv_sketch_stream",
+    "cms_sketch_stream",
+    "budget_stats_stream",
 ]
+
+
+def _batch_already_folded(catalog, table: str, batch_id: int) -> bool:
+    """Replay guard for ADDITIVE foreachBatch folds: foreachBatch is
+    at-least-once — a crash between the catalog commit and the streaming
+    checkpoint commit re-delivers the batch, and a second merge of an
+    additive state (summed counters, per-host sums) would double-count
+    it. Each fold stamps ``stream_batch`` into the snapshot properties;
+    a redelivered batch id ≤ the stamped one has already been folded, so
+    the fold returns early — making the additive folds idempotent under
+    Spark's replay. (The HLL/KMV folds are max/union-idempotent and
+    would survive replay anyway; they share the guard for uniformity.)"""
+    if not catalog.exists(table):
+        return False
+    snap = catalog.current_snapshot(table)
+    if snap is None:
+        return False
+    prev = snap.properties.get("stream_batch")
+    return prev is not None and int(prev) >= int(batch_id)
 
 
 def seed_ingest_stream(
@@ -230,6 +252,8 @@ def hll_sketch_stream(
     raw = reader.format("parquet").load(src_dir)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if _batch_already_folded(catalog, table, batch_id):
+            return
         regs = hll_registers(batch_df, key, by)
         if catalog.exists(table):
             regs = hll_merge_registers(
@@ -273,6 +297,8 @@ def kmv_sketch_stream(
     raw = reader.format("parquet").load(src_dir)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if _batch_already_folded(catalog, table, batch_id):
+            return
         sig = kmv_signature(batch_df, key, by, k)
         if catalog.exists(table):
             sig = kmv_merge_signatures(
@@ -311,6 +337,8 @@ def cms_sketch_stream(
     raw = reader.format("parquet").load(src_dir)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if _batch_already_folded(catalog, table, batch_id):
+            return
         sk = cms_sketch(batch_df, key)
         if catalog.exists(table):
             sk = cms_merge(catalog.read(batch_df.sparkSession, table), sk)
@@ -353,6 +381,8 @@ def budget_stats_stream(
     raw = reader.format("parquet").load(src_dir)
 
     def fold(batch_df: DataFrame, batch_id: int) -> None:
+        if _batch_already_folded(catalog, table, batch_id):
+            return
         st = host_stats(batch_df, host_col, quality_col, dup_col)
         if catalog.exists(table):
             st = merge_host_stats(catalog.read(batch_df.sparkSession, table), st)

@@ -438,6 +438,41 @@ def test_cms_sketch_stream_matches_batch_after_micro_batches(spark, tmp_path):
     assert streamed["u-hot"] == 100 and streamed["u-absent"] == 0
 
 
+def test_cms_sketch_stream_replay_does_not_double_count(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the catalog commit
+    and the streaming checkpoint commit re-delivers the batch. The
+    additive CMS fold must be idempotent under that replay (r5 ADVICE):
+    simulate the crash by wiping the checkpoint after the catalog commit
+    — the re-run re-delivers the same files under the same batch id, and
+    the stream_batch guard must skip the merge, conserving total mass."""
+    from pyspark.sql import functions as F
+
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.catalog import Catalog
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.streaming.crawl_stream import (
+        cms_sketch_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    cat = Catalog(str(tmp_path / "cat"))
+    schema = "url string"
+    rows = [("u-hot",)] * 50 + [("u-cold",)] * 3
+    spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+    cms_sketch_stream(spark, src, ckpt, cat, key="url", schema=schema).awaitTermination(120)
+
+    import shutil
+
+    shutil.rmtree(ckpt)  # crash simulation: state committed, checkpoint lost
+    cms_sketch_stream(spark, src, ckpt, cat, key="url", schema=schema).awaitTermination(120)
+
+    folded = cat.read(spark, "cms_sketch")
+    per_row = [
+        r["s"] for r in folded.groupBy("_row").agg(F.sum("_cnt").alias("s")).collect()
+    ]
+    # without the guard this is 2 * len(rows)
+    assert all(s == len(rows) for s in per_row)
+
+
 def test_budget_stats_stream_matches_batch_after_micro_batches(spark, tmp_path):
     """Streaming quality steering: host-stats folded over 3 micro-batches
     (restart in between) yield EXACTLY the budgets of the one-shot batch
