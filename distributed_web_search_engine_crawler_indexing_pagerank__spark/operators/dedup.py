@@ -327,40 +327,37 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     """→ (doc_id, simhash): 64-char '0'/'1' string. Bit b is set iff the
     majority of the doc's distinct tokens have bit b of md5(token) set
     (±1 vote per token). Bit b of the hash = bit (b%4, 8s-first) of hex
-    digit b//4 — the exact construction the SQL oracle mirrors."""
+    digit b//4 — the exact construction the SQL oracle mirrors.
+
+    Plan shape (r6): ONE token explode and ONE per-doc aggregation with
+    64 integer-sum columns — the 64 per-token votes are plain column
+    expressions over the token's md5, so the (doc, bit) explode (64x the
+    shuffle rows) and the second aggregation + collect_list/array_sort
+    assembly of the r5 form are gone. Vote sums are order-independent
+    integers — identical bits, identical string."""
     df = spread(df)
     toks = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokens_col(F.lower(F.col(text_col))))).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
-    bits = toks.select(
+    # per-token ±1 vote for each of the 64 bits: bit b lives in hex
+    # digit b//4 (bit b%4, 8s-first) — 16 digit columns feed 64 votes
+    digits = [F.substring(F.col("h"), d + 1, 1) for d in range(SIMHASH_BITS // 4)]
+    votes = [
+        F.when(_bit_of_md5(digits[b // 4], b % 4) == 1, 1).otherwise(-1)
+        for b in range(SIMHASH_BITS)
+    ]
+    sums = toks.groupBy(id_col).agg(
+        *[F.sum(votes[b]).alias(f"_s{b}") for b in range(SIMHASH_BITS)]
+    )
+    return sums.select(
         id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
-        "h",
-    ).withColumn("digit", F.substring(F.col("h"), (F.col("b") / 4 + 1).cast("int"), 1))
-    vote = sum(
-        F.when(
-            (F.pmod(F.col("b"), F.lit(4)) == i) & (_bit_of_md5(F.col("digit"), i) == 1),
-            1,
-        ).otherwise(0)
-        for i in range(4)
-    )
-    per_bit = (
-        bits.withColumn("v", (vote * 2 - 1))
-        .groupBy(id_col, "b")
-        .agg((F.sum("v") > 0).cast("int").alias("bit"))
-    )
-    return (
-        per_bit.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("b", "bit"))),
-                    lambda s: s["bit"].cast("string"),
-                ),
-            ).alias("simhash")
-        )
+        F.concat(
+            *[
+                (F.col(f"_s{b}") > 0).cast("int").cast("string")
+                for b in range(SIMHASH_BITS)
+            ]
+        ).alias("simhash"),
     )
 
 
@@ -402,6 +399,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int = 4096,
+    dim: int | None = None,
 ) -> DataFrame:
     """→ (vec_a, vec_b, cos): pairs with cosine ≥ threshold, candidates
     bounded by equal sign-pattern buckets (near-identical vectors share
@@ -414,8 +412,11 @@ def embedding_near_dups(
     (left fans over the salt range, right is hashed to one salt, and
     ``vec_a < vec_b`` keeps each unordered pair exactly once —
     result-invariant, plan-bounded)."""
-    from .similarity import _dot, _norm, bucket_sizes, sign_bucket
+    from .similarity import _dot, _dot_fixed, _norm, bucket_sizes, sign_bucket
 
+    # known dimension → unrolled codegen dot on the pair join (identical
+    # doubles; see similarity._dot_fixed)
+    dot = (lambda a, b: _dot_fixed(a, b, dim)) if dim else _dot
     b = spread(emb).select(
         F.col(id_col),
         F.col(vec_col),
@@ -446,7 +447,7 @@ def embedding_near_dups(
         .withColumn(
             "cos",
             F.round(
-                _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6
+                dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6
             ),
         )
         .where(F.col("cos") >= min_cos)

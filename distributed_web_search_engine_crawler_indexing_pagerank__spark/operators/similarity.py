@@ -49,6 +49,24 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """``_dot`` unrolled for a KNOWN dimension: the same left-fold
+    ``((0 + a0·b0) + a1·b1) + …`` as flat scalar expressions, which run
+    in whole-stage codegen instead of the interpreted higher-order
+    zip_with/aggregate path (HOFs are CodegenFallback — per PAIR they
+    allocate a 64-element array and dispatch two lambdas per element;
+    measured ~4x the per-pair cost of the unrolled form on the bucketed
+    pair joins). Identical doubles: same multiplication and addition
+    order, elementwise float→double casts are exact. (The r2 note about
+    unrolled-codegen being slower concerned inlining full cosine — dot
+    AND both norms, 3x64 terms — per pair; with norms hoisted per
+    vector the 64-term dot is the right trade.)"""
+    acc: Column = F.lit(0.0)
+    for d in range(dim):
+        acc = acc + a.getItem(d).cast("double") * b.getItem(d).cast("double")
+    return acc
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
@@ -76,6 +94,7 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """→ (query_id, neighbor_id, cos, rank): exact brute-force top-k per
     query vector. ``queries`` has (query_id, query_vec); it is the small
@@ -86,6 +105,7 @@ def cosine_topk(
     scored pairs, so a single-split scan would run the whole pair loop
     in ONE task (the shuffle/scan byte counts that drive AQE and split
     planning cannot see the CPU fan-out)."""
+    dot = (lambda a, b: _dot_fixed(a, b, dim)) if dim else _dot
     embn = spread(emb).withColumn("_nn", _norm(F.col(vec_col)))
     qn = queries.withColumn("_qn", _norm(F.col("query_vec")))
     pairs = embn.crossJoin(F.broadcast(qn)).where(
@@ -95,7 +115,7 @@ def cosine_topk(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         F.round(
-            _dot(F.col("query_vec"), F.col(vec_col)) / (F.col("_qn") * F.col("_nn")),
+            dot(F.col("query_vec"), F.col(vec_col)) / (F.col("_qn") * F.col("_nn")),
             6,
         ).alias("cos"),
     )
@@ -138,6 +158,7 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     bits: int = IVF_SIGN_BITS,
     max_bucket: int = 4096,
+    dim: int | None = None,
 ) -> DataFrame:
     """→ (vec_id, neighbor_id, cos, rank): approximate top-k for EVERY
     vector, searching only its own sign bucket (bucket equi-join instead
@@ -171,6 +192,7 @@ def ivf_ann_topk(
             F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)).alias("_salt"),
         )
     )
+    dot = (lambda a, b: _dot_fixed(a, b, dim)) if dim else _dot
     scored = (
         left.join(right, ["bucket", "_salt"])
         .where(F.col("qid") != F.col("neighbor_id"))
@@ -178,7 +200,7 @@ def ivf_ann_topk(
             F.col("qid").alias("vec_id"),
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")),
+                dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")),
                 6,
             ).alias("cos"),
         )
@@ -403,6 +425,11 @@ def ivf_kmeans_topk(
         )
     )
 
+    # pair scoring: the codebook fixes the dimension, so the dot is the
+    # unrolled codegen form (see _dot_fixed) — the pair join is the only
+    # O(candidates) stage and was dominated by interpreted HOF dispatch
+    dot_dim = len(centroids[0]) if centroids and centroids[0] else None
+    dot = (lambda a, b: _dot_fixed(a, b, dot_dim)) if dot_dim else _dot
     scored = (
         left.join(right, ["bucket", "_salt"])
         .where(F.col("qid") != F.col("neighbor_id"))
@@ -410,7 +437,7 @@ def ivf_kmeans_topk(
             F.col("qid").alias("vec_id"),
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")),
+                dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")),
                 6,
             ).alias("cos"),
         )

@@ -343,11 +343,21 @@ def _winnow_sel_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     ``p = W + i`` (the same values the r5 explode+window form produced,
     row-for-row). The rolling min over the w-gram window is computed with
     array higher-order functions INSIDE each row — no explode, no
-    exchange, no per-doc sort: ``min(e[p-w+1..p]) = array_min(slice(...))``
-    over the per-position gram-hash array, which is bounded by
-    WINNOW_MAX_CHARS. Downstream per-doc summaries stay map-side;
-    cross-doc consumers explode only the selected (~2/(w+1) density)
-    fingerprints."""
+    exchange, no per-doc sort — and is bounded by WINNOW_MAX_CHARS.
+    Downstream per-doc summaries stay map-side; cross-doc consumers
+    explode only the selected (~2/(w+1) density) fingerprints.
+
+    EXPRESSION-SHAPE CONSTRAINT (hard-won): every array/string column
+    here is referenced only in HOF *argument* position — never inside a
+    lambda body. CollapseProject inlines a once-referenced alias into
+    the expression that uses it, and an alias inlined into a lambda BODY
+    is re-evaluated per element (an early draft with
+    ``transform(seq, p -> array_min(slice(_g, p-3, 4)))`` went O(n²)
+    per document and burned 12 minutes in one task). Arguments are
+    evaluated once per row no matter what the optimizer inlines, so the
+    k-gram build and the w-window min are zip_with cascades:
+    ``g_{2k}[i] = g_k[i] || g_k[i+k]``, ``min_{2w}[i] = least(min_w[i],
+    min_w[i+w])`` — O(L·log) total work, optimizer-proof."""
     norm = F.substring(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), WS_PATTERN, " "),
         1,
@@ -358,22 +368,64 @@ def _winnow_sel_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         norm.alias("_t"),
         (F.length(norm) - (WINNOW_K - 1)).alias("_n"),
     ).where(F.col("_n") >= WINNOW_W)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.col("_n")),
-        lambda p: F.concat(
-            F.substring(F.md5(F.substring(F.col("_t"), p, F.lit(WINNOW_K))), 1, 12),
-            F.lpad(p.cast("string"), 6, "0"),
+    big = F.lit(WINNOW_MAX_CHARS)
+
+    # k-char gram strings by length-doubling: levels[p][i] = chars i..i+p-1
+    out = base.withColumn("_l1", F.split(F.col("_t"), ""))
+    levels = {1: "_l1"}
+    p = 1
+    while p * 2 <= WINNOW_K:
+        out = out.withColumn(
+            f"_l{p * 2}",
+            F.zip_with(
+                F.col(levels[p]),
+                F.slice(F.col(levels[p]), p + 1, big),
+                lambda x, y: F.concat(x, y),
+            ),
+        )
+        levels[p * 2] = f"_l{p * 2}"
+        p *= 2
+    # compose k from its binary decomposition (k=8 is one level, but stay
+    # general): gram[i] = acc[i] || level_q[i+off]
+    powers = [q for q in sorted(levels, reverse=True) if WINNOW_K & q]
+    acc, off = F.col(levels[powers[0]]), powers[0]
+    for q in powers[1:]:
+        acc = F.zip_with(
+            acc, F.slice(F.col(levels[q]), off + 1, big), lambda x, y: F.concat(x, y)
+        )
+        off += q
+    grams = F.slice(acc, 1, F.col("_n"))  # exactly the _n k-grams, no null tail
+
+    # hash||lpad(pos) entries; binary transform lambda → only lambda vars
+    # in the body (i is 0-based)
+    out = out.withColumn(
+        "_e",
+        F.transform(
+            grams,
+            lambda x, i: F.concat(
+                F.substring(F.md5(x), 1, 12),
+                F.lpad((i + F.lit(1)).cast("string"), 6, "0"),
+            ),
         ),
     )
-    sels = F.transform(
-        F.sequence(F.lit(WINNOW_W), F.col("_n")),
-        lambda p: F.array_min(F.slice(F.col("_g"), p - (WINNOW_W - 1), WINNOW_W)),
-    )
-    return (
-        base.withColumn("_g", grams)
-        .withColumn("_sels", sels)
-        .select(id_col, "_t", "_n", "_sels")
-    )
+    # rolling min over the w-window by the same doubling cascade
+    mins = {1: F.col("_e")}
+    w = 1
+    while w * 2 <= WINNOW_W:
+        mins[w * 2] = F.zip_with(
+            mins[w], F.slice(mins[w], w + 1, big), lambda x, y: F.least(x, y)
+        )
+        w *= 2
+    wpowers = [q for q in sorted(mins, reverse=True) if WINNOW_W & q]
+    macc, moff = mins[wpowers[0]], wpowers[0]
+    for q in wpowers[1:]:
+        macc = F.zip_with(
+            macc, F.slice(mins[q], moff + 1, big), lambda x, y: F.least(x, y)
+        )
+        moff += q
+    # position p = W..n ↔ index p-W+1 in the cascade output
+    sels = F.slice(macc, 1, F.col("_n") - (WINNOW_W - 1))
+    return out.withColumn("_sels", sels).select(id_col, "_t", "_n", "_sels")
 
 
 def winnow_fp_rows(
@@ -433,13 +485,19 @@ def remove_dup_spans(
     # no O(chars) explode, no corpus-wide distinct shuffle (the r5 form
     # shuffled every gram position for the rolling window; see
     # _winnow_sel_arrays).
+    # materialized ONCE (eager localCheckpoint): the span surgery below
+    # consumes fpd through several join/window branches, and with the
+    # zero-exchange array core there is no early shuffle whose reuse
+    # would dedupe the recomputation — without this, each branch re-ran
+    # the whole cascade (measured ~2x the query). The checkpointed frame
+    # is the selected-fingerprint rows only (~2/(w+1) of positions).
     fpd = _winnow_sel_arrays(df, text_col, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(F.col("_sels"))).alias("_sel")
     ).select(
         F.col(id_col),
         F.substring("_sel", 1, 12).alias("fp"),
         F.substring("_sel", 13, 6).cast("int").alias("pos"),
-    )
+    ).localCheckpoint(eager=True)
     st = fpd.groupBy("fp").agg(
         F.count_distinct(F.col(id_col)).alias("nd"),
         F.min(id_col).alias("owner"),

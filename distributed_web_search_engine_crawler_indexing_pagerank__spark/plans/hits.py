@@ -65,41 +65,42 @@ def hits(
     hub = vertices.withColumn("s", F.lit(1.0))
     auth = vertices.withColumn("s", F.lit(1.0))
 
-    def _gather(scores: DataFrame, key_from: str, key_to: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    def _gather(scores: DataFrame, key_from: str, key_to: str, tag: str) -> DataFrame:
         """One half-step: sum the counterpart score over edges into
         key_to, then max-normalize. Vertices with no gathered mass
-        score 0."""
+        score 0.
+
+        ONE action (r6, was 3): the global max rides as an Observation
+        metric on the job that checkpoints the raw gather, and the
+        normalized frame is a LAZY projection over that checkpointed
+        raw (divide-by-literal + the vertices left join) — same doubles,
+        no second materialization pass and no separate max job."""
+        obs = Observation(tag)
         raw = (
             edges.join(
                 scores.withColumnRenamed("url", key_from), key_from
             )
             .groupBy(F.col(key_to).alias("url"))
             .agg(F.sum("s").alias("g"))
-        )
-        mx = raw.agg(F.max("g")).first()[0]
-        if mx is None or mx <= 0.0:
-            return vertices.withColumn("s", F.lit(0.0))
-        return (
-            vertices.join(raw, "url", "left")
-            .select(
-                "url",
-                (F.coalesce(F.col("g"), F.lit(0.0)) / F.lit(float(mx))).alias(
-                    "s"
-                ),
-            )
+            .observe(obs, F.max("g").alias("mx"))
             .localCheckpoint(eager=True)
         )
+        mx = obs.get["mx"]
+        if mx is None or mx <= 0.0:
+            return vertices.withColumn("s", F.lit(0.0))
+        return vertices.join(raw, "url", "left").select(
+            "url",
+            (F.coalesce(F.col("g"), F.lit(0.0)) / F.lit(float(mx))).alias("s"),
+        )
 
-    iters_done, residual = 0, None
-    for it in range(max_iter):
-        iters_done = it + 1
-        new_auth = _gather(hub, "src", "dst")
-        new_hub = _gather(new_auth, "dst", "src")
-        res = (
+    def _residual(new_hub, old_hub, new_auth, old_auth):
+        return (
             new_hub.withColumnRenamed("s", "nh")
-            .join(hub.withColumnRenamed("s", "oh"), "url")
+            .join(old_hub.withColumnRenamed("s", "oh"), "url")
             .join(new_auth.withColumnRenamed("s", "na"), "url")
-            .join(auth.withColumnRenamed("s", "oa"), "url")
+            .join(old_auth.withColumnRenamed("s", "oa"), "url")
             .agg(
                 F.max(
                     F.greatest(
@@ -110,11 +111,26 @@ def hits(
             )
             .first()[0]
         )
-        hub, auth, residual = new_hub, new_auth, res
-        if residual is not None and residual < eps:
+
+    iters_done, residual = 0, None
+    track_residual = eps > 0.0  # fixed-iteration (oracle) mode skips it
+    prev_hub, prev_auth = hub, auth
+    for it in range(max_iter):
+        iters_done = it + 1
+        new_auth = _gather(hub, "src", "dst", f"hits-a-{it}")
+        new_hub = _gather(new_auth, "dst", "src", f"hits-h-{it}")
+        if track_residual:
+            residual = _residual(new_hub, hub, new_auth, auth)
+        prev_hub, prev_auth = hub, auth
+        hub, auth = new_hub, new_auth
+        if track_residual and residual is not None and residual < eps:
             break
     if stats is not None:
         stats["iterations"] = iters_done
+        if not track_residual and max_iter > 0:
+            # fixed-iteration mode computes the terminal residual once,
+            # after the loop, only when the caller asked to observe it
+            residual = _residual(hub, prev_hub, auth, prev_auth)
         stats["residual"] = residual
     return (
         vertices.join(hub.withColumnRenamed("s", "hub"), "url")

@@ -140,6 +140,17 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # LOOP-INVARIANT scatter frame (r6): edges ⨝ outdeg and the
+    # dst∈vertices restriction do not change across iterations — hoist
+    # them out of the loop and checkpoint once, so each iteration is
+    # exactly one ranks join + one gather aggregation instead of
+    # re-running the outdeg aggregate and the semi-join every pass.
+    scatter = (
+        edges.join(outdeg, "src")
+        .join(vertices.withColumnRenamed("url", "dst"), "dst", "left_semi")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=True)
+    )
 
     # per-vertex dangling flag, computed once — lets every iteration fold
     # the NEXT iteration's dangling mass (:366-372) into the residual
@@ -168,14 +179,14 @@ def pagerank(
     else:
         dangling = flags.where(~F.col("has_out")).count() / n
 
+    from pyspark.sql import Observation
+
     iters_done, residual = 0, None
     for it in range(start_iter, max_iter):
         iters_done = it + 1 - start_iter
         contribs = (
-            edges.join(outdeg, "src")
-            .join(ranks.withColumnRenamed("url", "src"), "src")
+            scatter.join(ranks.withColumnRenamed("url", "src"), "src")
             .select(F.col("dst").alias("url"), (F.col("rank") / F.col("outdeg")).alias("c"))
-            .join(vertices, "url", "left_semi")
             .groupBy("url")
             .agg(F.sum("c").alias("inbound"))
         )
@@ -192,23 +203,29 @@ def pagerank(
                 + F.lit(d) * F.coalesce(F.col("inbound"), F.lit(0.0))
                 + F.lit(d * dangling / n)
             )
+        # ONE action per iteration (r6): the L∞ residual and the next
+        # iteration's dangling mass ride as Observation metrics on the
+        # SAME job that materializes the new rank vector — the old-rank
+        # and has_out joins move into the checkpoint job, and the
+        # separate residual pass disappears (it re-did those joins
+        # anyway). Same arithmetic, same values.
+        obs = Observation(f"pr-{it}")
         new_ranks = (
             vertices.join(contribs, "url", "left")
-            .select("url", upd.alias("rank"))
+            .join(ranks.select("url", F.col("rank").alias("_old")), "url")
+            .join(flags, "url")
+            .select("url", upd.alias("rank"), "_old", "has_out")
+            .observe(
+                obs,
+                F.max(F.abs(F.col("rank") - F.col("_old"))).alias("res"),
+                F.sum(
+                    F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)
+                ).alias("dang"),
+            )
+            .select("url", "rank")
             .localCheckpoint(eager=True)  # cut lineage per iteration (P6)
         )
-        # one action: L∞ residual + next iteration's dangling mass
-        it_row = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "old"), "url")
-            .join(flags, "url")
-            .agg(
-                F.max(F.abs(F.col("rank") - F.col("old"))).alias("res"),
-                F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias(
-                    "dang"
-                ),
-            )
-            .first()
-        )
+        it_row = obs.get
         residual, dangling = it_row["res"], it_row["dang"] or 0.0
         ranks = new_ranks
         converged = residual is not None and residual < eps

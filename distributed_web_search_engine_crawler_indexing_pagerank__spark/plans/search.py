@@ -214,6 +214,7 @@ def bm25_scores(
     n_docs: int,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    doc_lens: DataFrame | None = None,
 ) -> DataFrame:
     """→ (doc_id, bm25): Okapi BM25 over a (doc_id, w, cnt) postings
     frame — the standard ranking function a user of a search engine
@@ -226,7 +227,17 @@ def bm25_scores(
     the tiny per-term df frame broadcasts — per query the corpus-sized
     work is one pruned scan + one broadcast join, all whole-stage
     codegen, no UDFs."""
-    dl = tok.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    # ``doc_lens`` (doc_id, dl) may be supplied by the caller when the
+    # length sum is computable WITHOUT the (doc, word) aggregation —
+    # e.g. q_bm25 derives dl = size(filter(tokens)) map-side from the
+    # document text, one scan and zero shuffles, instead of exploding
+    # and hash-aggregating the whole postings stream (r6; dl values are
+    # identical integers, so avgdl and every score double match).
+    dl = (
+        doc_lens
+        if doc_lens is not None
+        else tok.groupBy("doc_id").agg(F.sum("cnt").alias("dl"))
+    )
     avgdl = float(dl.agg(F.avg("dl")).first()[0])
     qt = tok.where(F.col("w").isin(list(query_terms)))
     dfreq = qt.groupBy("w").agg(F.count("*").alias("df"))

@@ -1412,9 +1412,12 @@ def q_tfidf_docs(spark, sf_dir):
     tfidf>0 (TfIdf.java:217-225), rounded 6."""
     tok = _index_tokens(spark, sf_dir).where(F.col("cnt") >= 2)
     n_docs = _t_rows(sf_dir, "documents")  # footer metadata, no pre-job
-    dfreq = tok.groupBy("w").agg(F.count("*").alias("df"))
+    # df via a count window over the word key instead of a groupBy+self-
+    # join (r6): the join form scanned+exploded documents TWICE (the two
+    # branches share no exchange) and shuffled three times; the window
+    # form is one explode and two exchanges, same integer df values.
     return (
-        tok.join(dfreq, "w")
+        tok.withColumn("df", F.count("*").over(Window.partitionBy("w")))
         .select(
             "doc_id",
             "w",
@@ -1455,7 +1458,26 @@ def q_bm25(spark, sf_dir):
 
     tok = _index_tokens(spark, sf_dir)
     n_docs = _t_rows(sf_dir, "documents")  # footer metadata, no pre-job
-    return bm25_scores(tok, BM25_TERMS, n_docs)
+    # doc lengths without the (doc, word) key (r6): dl = #qualifying
+    # tokens, so one codegen explode+filter and a SINGLE-key partial
+    # aggregation replace the (doc, word) hash agg + per-doc re-sum the
+    # r5 form paid. Same integers (sum of per-(doc,word) counts == count
+    # of qualifying tokens); docs with no qualifying token have no row
+    # on either path. (An array-HOF `size(filter(...))` variant avoided
+    # the explode entirely but measured SLOWER — interpreted lambda vs
+    # whole-stage codegen.)
+    stop = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    doc_lens = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+        )
+        .where((F.col("w") != "") & (F.length("w") <= 25))
+        .where(~F.array_contains(stop, F.col("w")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+    )
+    return bm25_scores(tok, BM25_TERMS, n_docs, doc_lens=doc_lens)
 
 
 SQL_BM25 = f"""
@@ -1916,6 +1938,7 @@ def q_embed_neardup(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"),
         min_cos=EMBED_NEARDUP_MIN_COS,
         bits=EMBED_NEARDUP_BITS,
+        dim=EMBED_DIM,
     )
 
 
@@ -2202,6 +2225,8 @@ def q_cosine_topk(spark, sf_dir):
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+    # no dim= here: with only |queries|·N pairs the unrolled-dot's janino
+    # compile cost exceeds the per-pair HOF win (measured 1.7s vs 1.0s)
     return similarity.cosine_topk(emb, q, k=10)
 
 
@@ -2223,12 +2248,18 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 
 
 def q_ivf_ann(spark, sf_dir):
-    return similarity.ivf_ann_topk(_t(spark, sf_dir, "embeddings"), k=3)
+    return similarity.ivf_ann_topk(
+        _t(spark, sf_dir, "embeddings"), k=3, dim=EMBED_DIM
+    )
 
 
 IVF_KM_K = 5
 IVF_KM_NPROBE = 3
-IVF_KM_DIM = 64
+# dimension of the embeddings fixture (FIXTURES.md) — known statically,
+# so the pair-scoring dot products unroll to whole-stage-codegen scalar
+# chains (similarity._dot_fixed) instead of interpreted HOFs
+EMBED_DIM = 64
+IVF_KM_DIM = EMBED_DIM
 IVF_KM_N_CENTROIDS = 8
 
 # Fixed codebook for the oracle-checked registry entry: exact dyadic

@@ -204,17 +204,19 @@ def test_cube_expands_from_single_scan(spark, sf_dir):
     assert len(agg_lines) == 2 and len(exch_lines) == 1, tree
 
 
-def test_winnow_single_shuffle_all_jvm(spark, sf_dir):
-    """Winnowing: ONE exchange total — the per-doc window's; the
-    distinct and the final per-doc agg both reuse the doc_id hash
-    partitioning (ClusteredDistribution satisfied by a subset), and the
-    whole rolling-hash pipeline stays JVM-side (no Python eval)."""
+def test_winnow_zero_shuffle_all_jvm(spark, sf_dir):
+    """Winnowing summary (r6): ZERO exchanges — the w-gram rolling min
+    is per-document array algebra inside the row (zip_with cascades, see
+    textops._winnow_sel_arrays), so the whole summary is one scan + one
+    project; no Window operator, no per-doc shuffle, and the rolling-
+    hash pipeline stays JVM-side (no Python eval). (r5 shape: explode +
+    one exchange for the per-doc window.)"""
     plan = plan_of(Q.QUERIES["q_winnow"][0](spark, sf_dir))
     tree = plan.split("\n\n")[0]
     lines = tree.splitlines()
-    assert sum("Exchange" in l for l in lines) == 1, tree
+    assert sum("Exchange" in l for l in lines) == 0, tree
     assert sum("Scan parquet" in l for l in lines) == 1, tree
-    assert any("Window" in l for l in lines), tree
+    assert not any("Window" in l for l in lines), tree
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
