@@ -785,11 +785,23 @@ class SparkCrawler:
         # priority-min merge: dedups fresh vs itself and vs the remaining
         # frontier, keeping the best (depth, disc_wave, parent_hash,
         # link_idx) per url_hash — first-writer-wins (Crawler.java:376-388).
+        #
+        # PARTITIONING REUSE (r6, guide §2.4): the merge shuffles by HOST
+        # and groups by (host, url_hash) — the same groups, since a URL's
+        # hash determines its host, and HashPartitioning(host) satisfies
+        # the aggregation's ClusteredDistribution([host, url_hash]). The
+        # localCheckpoint preserves that output partitioning, so the NEXT
+        # wave's frontier⨝hosts join and per-host classify window reuse
+        # it instead of re-exchanging the full frontier by host — the
+        # frontier (the largest per-wave table) now crosses the network
+        # ONCE per wave, not twice. Hot-host concentration is the same
+        # skew class the classify window always had.
         merged = (
             remaining.unionByName(fresh)
-            .groupBy("url_hash")
+            .repartition(self.frontier_partitions, "host")
+            .groupBy("host", "url_hash")
             .agg(F.min(F.struct(*PRIORITY_COLS, "url", "host")).alias("_s"))
-            .select("url_hash", "_s.url", "_s.host", *[f"_s.{c}" for c in PRIORITY_COLS])
+            .select("url_hash", "_s.url", "host", *[f"_s.{c}" for c in PRIORITY_COLS])
             .persist()
         )
 
