@@ -2990,6 +2990,12 @@ QUERIES: dict[str, tuple[Callable, str | None]] = {
     # this round lead; the longest-green rows (r01–r04 driver history)
     # rotate behind the window. Add future queries at the TOP.
     #
+    # MANDATORY PER-ROUND GATE (r5 ADVICE): queries behind the 50-row
+    # driver window are covered ONLY by the local full-registry oracle
+    # run — `scripts/check_correctness.py` at sf0.01 AND sf0.1 (results
+    # under BENCH/CORRECTNESS_sf*.json) must be 70/70 green before any
+    # round ships, so out-of-window queries can never regress silently.
+    #
     # -- new this round (round 5)
     "q_pagerank_delta": (q_pagerank_delta, SQL_PAGERANK_DELTA),
     "q_pagerank_personal": (q_pagerank_personal, SQL_PAGERANK_PERSONAL),

@@ -104,3 +104,28 @@ def test_bench_headline_subset_of_registry():
 
     missing = [n for n in bench.HEADLINE if n not in Q.QUERIES]
     assert not missing, missing
+
+
+def test_media_features_jvm_matches_mapinpandas(spark):
+    """r6 optimization parity: the JVM fake-decode expressions
+    (extract_features_fake_jvm — what q_media_features now runs) must be
+    value-identical to the mapInPandas plumbing path (extract_features,
+    fake=True — what a real codec deployment would run), feature by
+    feature, on the same media frame."""
+    from distributed_web_search_engine_crawler_indexing_pagerank__spark.operators.multimodal import (
+        extract_features,
+        extract_features_fake_jvm,
+        media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(64)
+    media = media_from_documents(docs)
+    a = {
+        r["media_id"]: (r["mime"], r["n_bytes"], tuple(r["feature"]))
+        for r in extract_features(media, fake=True).collect()
+    }
+    b = {
+        r["media_id"]: (r["mime"], r["n_bytes"], tuple(r["feature"]))
+        for r in extract_features_fake_jvm(media).collect()
+    }
+    assert a == b and len(a) == 64
