@@ -337,7 +337,9 @@ def winnow_fingerprints(
     )
 
 
-def _winnow_sel_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _winnow_sel_arrays(
+    df: DataFrame, text_col: str, id_col: str, with_pos: bool = True
+) -> DataFrame:
     """Shared winnowing core → (id, _t, _n, _sels: array<string>) where
     ``_sels[i]`` is the window-selected hash||lpad(pos) entry at position
     ``p = W + i`` (the same values the r5 explode+window form produced,
@@ -397,17 +399,21 @@ def _winnow_sel_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     grams = F.slice(acc, 1, F.col("_n"))  # exactly the _n k-grams, no null tail
 
     # hash||lpad(pos) entries; binary transform lambda → only lambda vars
-    # in the body (i is 0-based)
-    out = out.withColumn(
-        "_e",
-        F.transform(
-            grams,
-            lambda x, i: F.concat(
-                F.substring(F.md5(x), 1, 12),
-                F.lpad((i + F.lit(1)).cast("string"), 6, "0"),
-            ),
-        ),
-    )
+    # in the body (i is 0-based). ``with_pos=False`` drops the position
+    # suffix for consumers that strip it anyway (winnow_fp_rows): the
+    # window min's HASH is identical either way — the 12-hex prefix
+    # compares first, the pos suffix only tie-breaks EQUAL hashes, and a
+    # tie's stripped value is that same hash — so the per-doc distinct
+    # fingerprint set is unchanged while the cascade compares/carries
+    # 12-char strings instead of 18 and skips the lpad/concat.
+    if with_pos:
+        entry = lambda x, i: F.concat(  # noqa: E731
+            F.substring(F.md5(x), 1, 12),
+            F.lpad((i + F.lit(1)).cast("string"), 6, "0"),
+        )
+    else:
+        entry = lambda x, i: F.substring(F.md5(x), 1, 12)  # noqa: E731
+    out = out.withColumn("_e", F.transform(grams, entry))
     # rolling min over the w-window by the same doubling cascade
     mins = {1: F.col("_e")}
     w = 1
@@ -440,11 +446,10 @@ def winnow_fp_rows(
     metadata). Per-doc dedup happens INSIDE the row (array_distinct) so
     only the ~2/(w+1)-density selected fingerprints are ever exploded —
     no corpus-wide distinct shuffle."""
-    base = _winnow_sel_arrays(df, text_col, id_col)
-    fps = F.array_distinct(
-        F.transform(F.col("_sels"), lambda s: F.substring(s, 1, 12))
+    base = _winnow_sel_arrays(df, text_col, id_col, with_pos=False)
+    return base.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col("_sels"))).alias("fp")
     )
-    return base.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 def remove_dup_spans(
