@@ -166,20 +166,48 @@ def pagerank(
     )
     # initial dangling mass: restored from the snapshot on resume; summed
     # from the seed vector on a warm start; n_dangling/n under uniform 1/n
+    n_dangling = flags.where(~F.col("has_out")).count()
     if resumed_dangling is not None:
         dangling = resumed_dangling
     elif init_ranks is not None or teleport is not None:
         dangling = (
-            ranks.join(flags, "url")
-            .where(~F.col("has_out"))
-            .agg(F.sum("rank"))
-            .first()[0]
-            or 0.0
+            0.0
+            if n_dangling == 0
+            else (
+                ranks.join(flags, "url")
+                .where(~F.col("has_out"))
+                .agg(F.sum("rank"))
+                .first()[0]
+                or 0.0
+            )
         )
     else:
-        dangling = flags.where(~F.col("has_out")).count() / n
+        dangling = n_dangling / n
 
-    from pyspark.sql import Observation
+    # ONE action per iteration when nothing needs the per-iteration
+    # bookkeeping (r6): with eps<=0 (fixed-iteration mode — the oracle
+    # queries), no dangling vertices (the mass stays 0 forever), no
+    # caller-visible stats and no catalog checkpointing, the residual/
+    # dangling pass is dead work — each iteration is exactly the job
+    # that materializes the new rank vector. Otherwise the residual +
+    # next dangling ride in ONE transient second job (joins over the
+    # two checkpointed vectors, discarded after .first()).
+    #
+    # STATS-GROWTH CONSTRAINT (hard-won): localCheckpoint PRESERVES the
+    # checkpointed plan's sizeInBytes estimate, so each iteration's
+    # lineage may reference the previous vector ONCE — a first draft
+    # fused the residual into the checkpoint job (old ranks joined a 2nd
+    # time), which SQUARED the join-product sizeInBytes every iteration;
+    # by iteration ~50 the BigInt statistic had 2^50 bits and planning
+    # hung in BigInteger.multiply. Keep the bookkeeping job separate
+    # (its plan is transient) so the estimate grows linearly.
+    lean = (
+        eps <= 0.0
+        and n_dangling == 0
+        and dangling == 0.0
+        and stats is None
+        and catalog is None
+    )
 
     iters_done, residual = 0, None
     for it in range(start_iter, max_iter):
@@ -203,30 +231,25 @@ def pagerank(
                 + F.lit(d) * F.coalesce(F.col("inbound"), F.lit(0.0))
                 + F.lit(d * dangling / n)
             )
-        # ONE action per iteration (r6): the L∞ residual and the next
-        # iteration's dangling mass ride as Observation metrics on the
-        # SAME job that materializes the new rank vector — the old-rank
-        # and has_out joins move into the checkpoint job, and the
-        # separate residual pass disappears (it re-did those joins
-        # anyway). Same arithmetic, same values.
-        obs = Observation(f"pr-{it}")
         new_ranks = (
             vertices.join(contribs, "url", "left")
-            .join(ranks.select("url", F.col("rank").alias("_old")), "url")
-            .join(flags, "url")
-            .select("url", upd.alias("rank"), "_old", "has_out")
-            .observe(
-                obs,
-                F.max(F.abs(F.col("rank") - F.col("_old"))).alias("res"),
-                F.sum(
-                    F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)
-                ).alias("dang"),
-            )
-            .select("url", "rank")
+            .select("url", upd.alias("rank"))
             .localCheckpoint(eager=True)  # cut lineage per iteration (P6)
         )
-        it_row = obs.get
-        residual, dangling = it_row["res"], it_row["dang"] or 0.0
+        if not lean:
+            # transient bookkeeping job: L∞ residual + next dangling mass
+            it_row = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "old"), "url")
+                .join(flags, "url")
+                .agg(
+                    F.max(F.abs(F.col("rank") - F.col("old"))).alias("res"),
+                    F.sum(
+                        F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)
+                    ).alias("dang"),
+                )
+                .first()
+            )
+            residual, dangling = it_row["res"], it_row["dang"] or 0.0
         ranks = new_ranks
         converged = residual is not None and residual < eps
         if catalog is not None and (converged or (it + 1) % checkpoint_every == 0):
